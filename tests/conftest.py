@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+This is the "fake backend" the reference lacks (SURVEY.md §4): multi-chip
+sharding logic is exercised single-process on virtual CPU devices; Pallas
+kernels run in interpret mode.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
