@@ -15,5 +15,29 @@ This top-level module mirrors the reference's re-export shim
 __version__ = "0.1.0"
 
 from diffusion_llm_rs_tpu import quant
+from diffusion_llm_rs_tpu.config import (
+    DiffusionConfig,
+    PhaseQuantConfig,
+    PrefillConfig,
+    SystemConfig,
+    WeightQuantConfig,
+)
 
-__all__ = ["quant"]
+
+def __getattr__(name):
+    # Lazy imports keep `import diffusion_llm_rs_tpu` light; the Engine pulls
+    # in every subsystem.
+    if name == "Engine":
+        from diffusion_llm_rs_tpu.engine import Engine
+        return Engine
+    if name in ("models", "cache", "index", "router", "storage", "parallel",
+                "tokenizer", "ops", "utils"):
+        import importlib
+        return importlib.import_module(f"diffusion_llm_rs_tpu.{name}")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "quant", "Engine", "DiffusionConfig", "PhaseQuantConfig", "PrefillConfig",
+    "SystemConfig", "WeightQuantConfig",
+]

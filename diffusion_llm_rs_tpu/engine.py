@@ -1,0 +1,269 @@
+"""Engine: the system coordinator / end-user facade.
+
+Re-implementation of the reference's two top-level orchestrators:
+  - `ZetaReticula` + `process_model` 5-step ingestion pipeline
+    (`lib.rs:17-87`, orphaned coordinator; SURVEY.md §3.1)
+  - `DiffusionPrefill` {prefill, generate, predict_next_token, sample_token}
+    (`diffusion_prefill/src/lib.rs:36-174`; SURVEY.md §3.3-3.4)
+
+Where the reference stubs the model path (zero embeddings, uniform next-token
+probs — `diffusion_prefill/src/lib.rs:99,153-156`), this engine wires the real
+transformer denoiser: embeddings come from the token-embedding table, logits
+from the weight-tied readout (the commented-out intent at
+`diffusion_prefill/src/lib.rs:148-152`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_llm_rs_tpu.cache.kv_cache import KVCacheManager
+from diffusion_llm_rs_tpu.cache.memory_manager import MemoryManager
+from diffusion_llm_rs_tpu.cache.salience import SalienceEngine
+from diffusion_llm_rs_tpu.config import DiffusionConfig, PrefillConfig, SystemConfig
+from diffusion_llm_rs_tpu.index.anns import CompressedVector, FusionANNS, compress_rows
+from diffusion_llm_rs_tpu.models import denoiser as dn
+from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, add_noise
+from diffusion_llm_rs_tpu.models.sampler import phase_aware_sample
+from diffusion_llm_rs_tpu.quant.core import quantize_tree
+from diffusion_llm_rs_tpu.router.router import NSRouter
+from diffusion_llm_rs_tpu.storage.dedup import IODedupEngine
+from diffusion_llm_rs_tpu.tokenizer.bpe import BPETokenizer
+
+
+def _default_tokenizer(vocab_size: int) -> BPETokenizer:
+    """Byte-level tokenizer with a small merge set trained on a seed corpus."""
+    seed_corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "diffusion language models denoise token embeddings step by step",
+        "quantized key value caches keep memory small and inference fast",
+    ]
+    return BPETokenizer.train(seed_corpus, min(vocab_size, 320))
+
+
+class Engine:
+    """End-to-end quantized diffusion-LM inference engine."""
+
+    def __init__(
+        self,
+        config: Optional[DiffusionConfig] = None,
+        prefill_config: Optional[PrefillConfig] = None,
+        system_config: Optional[SystemConfig] = None,
+        tokenizer: Optional[BPETokenizer] = None,
+        params=None,
+        seed: int = 0,
+    ):
+        self.config = config or DiffusionConfig()
+        self.prefill_config = prefill_config or PrefillConfig(
+            embedding_dim=self.config.hidden_size)
+        self.system_config = system_config or SystemConfig()
+        self.tokenizer = tokenizer or _default_tokenizer(self.config.vocab_size)
+        if self.tokenizer.vocab_size > self.config.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab {self.tokenizer.vocab_size} exceeds model "
+                f"vocab {self.config.vocab_size}")
+
+        key = jax.random.PRNGKey(seed)
+        self.params = params if params is not None else dn.init_denoiser_params(
+            key, self.config)
+        self.schedule = DiffusionSchedule.create(
+            self.config.num_timesteps, self.config.beta_start,
+            self.config.beta_end, self.config.beta_schedule)
+
+        # memory / cache / index / routing subsystems (reference L3/L1)
+        self.kv_cache = KVCacheManager(
+            max_cache_size=self.config.max_cache_size,
+            prefill_bits=self.config.quant_config.prefill_bits,
+            decode_bits=self.config.quant_config.decode_bits)
+        self.salience = SalienceEngine(cache_size=self.prefill_config.cache_size)
+        self.anns = FusionANNS(embedding_dim=self.config.hidden_size)
+        self.router = NSRouter()
+        self.dedup = IODedupEngine(path=self.system_config.ssd_path,
+                                   enable_direct_io=self.system_config.enable_direct_io,
+                                   batch_size=self.system_config.batch_size,
+                                   dedup_buffer_size_mb=self.system_config.dedup_buffer_size_mb)
+        self.memory = MemoryManager(
+            hbm_budget=self.system_config.hbm_size_gb << 30)
+        self._prefill_store: Dict[str, CompressedVector] = {}
+        self._weight_bits: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    # weight quantization
+    # ------------------------------------------------------------------
+
+    def quantize_weights(self, bits: int) -> None:
+        """Weight-only quantization of all large matrices (GPTQ-style groups
+        along the contraction axis, `quantization/src/types.rs:112-132`)."""
+        self.params = quantize_tree(
+            self.params, bits,
+            symmetric=self.config.weight_quant.sym,
+            group_size=self.config.weight_quant.group_size)
+        self._weight_bits = bits
+
+    # ------------------------------------------------------------------
+    # process_model (`lib.rs:66-86`; SURVEY.md §3.1)
+    # ------------------------------------------------------------------
+
+    def process_model(self, text: str, model_id: str = "model") -> Dict[str, int]:
+        """5-step ingestion: tokenize -> quantize -> dedup-store -> route ->
+        index. Mirrors `ZetaReticula::process_model` layer-for-layer."""
+        # 1. tokenize + embed (`DiffuseLLM::tokenize_model`, lib.rs:1224-1245
+        #    builds zero embeddings; we use the real embedding table)
+        token_ids = self.tokenizer.encode(text)
+        embeddings = np.asarray(dn.embed_tokens(
+            self.params, jnp.asarray([token_ids]))[0])
+        # 2. per-token quantization, bits cycling over the configured widths
+        #    (`PrefillKVQuant::quantize_vectors`, prefill-kvquant-rs/lib.rs:127-146)
+        ids = [f"{model_id}:{i}" for i in range(len(token_ids))]
+        compressed = compress_rows(embeddings,
+                                   self.system_config.quantization_bits, ids)
+        # 3. dedup + SSD store (`IODedupEngine::store_vectors`)
+        written = self.dedup.store_vectors(compressed)
+        # 4. routing graph (`NsRouter::build_graph`)
+        self.router.update_routing(compressed)
+        # 5. ANN index (`FusionANNS::index_vectors`)
+        self.anns.index_compressed(compressed)
+        return {"tokens": len(token_ids), "stored": written,
+                "dedup_hits": self.dedup.dedup_hits}
+
+    # ------------------------------------------------------------------
+    # prefill (`diffusion_prefill/src/lib.rs:92-114`; SURVEY.md §3.3)
+    # ------------------------------------------------------------------
+
+    def prefill(self, text: str, cache_id: str = "default") -> int:
+        """Tokenize -> embed -> quantize -> cache -> salience -> route."""
+        token_ids = self.tokenizer.encode(text)
+        if not token_ids:
+            return 0
+        embeddings = np.asarray(dn.embed_tokens(
+            self.params, jnp.asarray([token_ids]))[0])
+        ids = [f"{cache_id}:{i}" for i in range(len(token_ids))]
+        compressed = compress_rows(embeddings,
+                                   self.prefill_config.quant_bits, ids)
+        for vec in compressed:
+            self._prefill_store[vec.id] = vec
+            self.salience.update(vec.id)
+        self.salience.calculate(text)
+        self.router.update_routing(compressed)
+        return len(token_ids)
+
+    def get_cached_vectors(self, ids: Sequence[str]) -> List[np.ndarray]:
+        """Zero-vector on miss (`diffusion_prefill/src/prefill_kv.rs:94-97`)."""
+        out = []
+        for vid in ids:
+            vec = self._prefill_store.get(vid)
+            out.append(vec.dequantize() if vec is not None
+                       else np.zeros((self.config.hidden_size,), np.float32))
+        return out
+
+    # ------------------------------------------------------------------
+    # generate (`diffusion_prefill/src/lib.rs:117-174`; SURVEY.md §3.4)
+    # ------------------------------------------------------------------
+
+    def predict_next_token(self, token_ids: Sequence[int]) -> jax.Array:
+        """Next-token probabilities from the denoiser hidden state at t=0 —
+        the real path the reference sketches (`lib.rs:148-152`)."""
+        ids = jnp.asarray([list(token_ids)], jnp.int32)
+        probs = self._predict_jit(self.params, ids)
+        return probs[0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _predict_jit(self, params, ids):
+        x = dn.embed_tokens(params, ids)
+        t = jnp.zeros((ids.shape[0],), jnp.int32)
+        _, h = dn.denoiser_forward(params, self.config, x, t,
+                                   return_hidden=True)
+        logits = dn.logits_from_hidden(params, h[:, -1:, :])[:, 0, :]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def sample_token(self, probs) -> str:
+        """Greedy argmax -> token string (`lib.rs:162-174`)."""
+        token_id = int(jnp.argmax(jnp.asarray(probs)))
+        return self.tokenizer.id_to_token(token_id)
+
+    def generate(self, prompt: str, max_length: int = 32) -> str:
+        """Greedy token loop with [EOS] early stop (`lib.rs:117-139`)."""
+        ids = self.tokenizer.encode(prompt)
+        if not ids:
+            ids = [self.tokenizer.eos_id]
+        out_ids: List[int] = []
+        for _ in range(max_length):
+            probs = self.predict_next_token(ids[-self.config.max_sequence_length:])
+            next_id = int(jnp.argmax(probs))
+            if next_id == self.tokenizer.eos_id:
+                break
+            ids.append(next_id)
+            out_ids.append(next_id)
+        return self.tokenizer.decode(out_ids)
+
+    # ------------------------------------------------------------------
+    # diffusion sampling (`DiffuseLLM::sample`, lib.rs:853-955)
+    # ------------------------------------------------------------------
+
+    def sample(self, batch_size: int = 1, seq_len: Optional[int] = None,
+               num_steps: Optional[int] = None, seed: int = 0,
+               return_text: bool = True):
+        """Phase-aware quantized reverse-diffusion sampling -> text."""
+        seq_len = seq_len or min(32, self.config.max_sequence_length)
+        key = jax.random.PRNGKey(seed)
+        x = phase_aware_sample(self.params, self.config, self.schedule,
+                               (batch_size, seq_len), key, num_steps)
+        token_ids = dn.decode_tokens(self.params, x)
+        if not return_text:
+            return token_ids
+        return [self.tokenizer.decode(np.asarray(row)) for row in token_ids]
+
+    # ------------------------------------------------------------------
+    # quality metric: denoising perplexity (BASELINE.json metric)
+    # ------------------------------------------------------------------
+
+    def denoising_perplexity(self, text: str, t: int = 10,
+                             seed: int = 0) -> float:
+        """Token-reconstruction perplexity after noising to step t.
+
+        Embeds the tokens, applies the forward process to timestep t, predicts
+        the noise, reconstructs x0 = (x_t - sqrt(1-abar)*eps_hat)/sqrt(abar),
+        reads logits through the tied embedding, and returns exp(CE). Sensitive
+        to weight/KV quantization — the measurable stand-in for the perplexity
+        deltas BASELINE.md requires (the reference has no trained weights).
+        """
+        ids = self.tokenizer.encode(text)
+        if len(ids) < 2:
+            raise ValueError("need at least 2 tokens")
+        ids_arr = jnp.asarray([ids], jnp.int32)
+        return float(self._ppl_jit(self.params, ids_arr, t,
+                                   jax.random.PRNGKey(seed)))
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _ppl_jit(self, params, ids, t, key):
+        x0 = dn.embed_tokens(params, ids)
+        t_vec = jnp.full((ids.shape[0],), t, jnp.int32)
+        x_t, _ = add_noise(self.schedule, x0, t_vec, key=key)
+        eps_hat = dn.denoiser_forward(params, self.config, x_t, t_vec)
+        sqrt_abar = self.schedule.sqrt_alpha_bars[t]
+        sqrt_1m = self.schedule.sqrt_one_minus_alpha_bars[t]
+        x0_hat = (x_t - sqrt_1m * eps_hat) / sqrt_abar
+        logits = dn.logits_from_hidden(params, x0_hat)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, ids[..., None], axis=-1)
+        return jnp.exp(-jnp.mean(tok_logp))
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> Dict[str, float]:
+        """Metric schema per SURVEY.md §5.5."""
+        s = dict(self.dedup.stats())
+        s.update({
+            "kv_cache_bytes": self.kv_cache.memory_usage(),
+            "kv_cache_entries": len(self.kv_cache),
+            "prefill_vectors": len(self._prefill_store),
+            "indexed_vectors": len(self.anns),
+            "router_nodes": len(self.router.nodes),
+            "weight_bits": self._weight_bits or 16,
+        })
+        return s

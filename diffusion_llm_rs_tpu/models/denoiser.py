@@ -1,0 +1,239 @@
+"""Denoiser models: transformer denoiser + tiny linear model for tests.
+
+TPU-native analogue of the reference's `DiffusionModel` trait and its
+implementations (`diffuse-llm-rs/src/lib.rs:748-836`): models are (init, apply)
+pure-function pairs over parameter pytrees, so quantized weights
+(`quant.QuantizedTensor` leaves) flow through `ops.matmul.linear` dispatch
+unchanged, and the whole forward jits/shards under GSPMD.
+
+The reference's cached-inference protocol is three calls per step
+(`update_kv_cache` -> `forward_with_cache` -> `cache.update`,
+`diffuse-llm-rs/src/lib.rs:907-918`), which runs the K/V projections twice. We
+fuse it: one forward pass that *attends over* the (dequantized) cached K/V from
+the previous denoise step and *returns* this step's fresh K/V for the cache —
+identical semantics, half the projection work.
+
+Shapes: x [B, S, D] continuous token embeddings; t [B] per-sample timesteps
+(the reference's `t: Array1<usize>`, `lib.rs:619`); cached K/V [L, B, S, H, Hd].
+
+Architecture (GPT-2-shaped per the reference defaults, `lib.rs:476-493`):
+pre-LN bidirectional transformer (denoising attends to the full sequence — no
+causal mask), sinusoidal timestep embedding through a 2-layer MLP added to every
+position, learned positional embeddings, GELU MLP, weight-tied logits head.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_llm_rs_tpu.config import DiffusionConfig
+from diffusion_llm_rs_tpu.ops.matmul import linear
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Simple linear denoiser (reference `SimpleDiffusionModel`, lib.rs:775-836)
+# ---------------------------------------------------------------------------
+
+
+def init_simple_denoiser(key: jax.Array, input_dim: int,
+                         output_dim: Optional[int] = None) -> Params:
+    output_dim = output_dim or input_dim
+    w = jax.random.normal(key, (input_dim, output_dim), jnp.float32) * 0.02
+    return {"w": w, "b": jnp.zeros((output_dim,), jnp.float32)}
+
+
+def simple_denoiser_forward(params: Params, x: jax.Array,
+                            t: jax.Array) -> jax.Array:
+    """y = x @ W + b; timestep ignored (`lib.rs:806-813`)."""
+    del t
+    return linear(x, params["w"], params["b"])
+
+
+# ---------------------------------------------------------------------------
+# Transformer denoiser
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(t: jax.Array, dim: int,
+                       max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal timestep features [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) *
+                    jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def _init_linear(key, d_in, d_out, scale=0.02):
+    return jax.random.normal(key, (d_in, d_out), jnp.float32) * scale
+
+
+def init_denoiser_params(key: jax.Array, cfg: DiffusionConfig) -> Params:
+    D = cfg.hidden_size
+    keys = jax.random.split(key, 8 + cfg.num_layers)
+    out_scale = 0.02 / math.sqrt(2 * cfg.num_layers)
+
+    params: Params = {
+        "tok_embed": jax.random.normal(keys[0], (cfg.vocab_size, D)) * 0.02,
+        "pos_embed": jax.random.normal(keys[1], (cfg.max_sequence_length, D)) * 0.01,
+        "time_mlp": {
+            "w1": _init_linear(keys[2], D, 4 * D),
+            "b1": jnp.zeros((4 * D,)),
+            "w2": _init_linear(keys[3], 4 * D, D),
+            "b2": jnp.zeros((D,)),
+        },
+        "ln_f": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+        "head": {"w": _init_linear(keys[4], D, D)},  # eps-prediction head
+        "blocks": [],
+    }
+    M = cfg.mlp_ratio * D
+    for i in range(cfg.num_layers):
+        bk = jax.random.split(keys[8 + i], 6)
+        params["blocks"].append({
+            "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "attn": {
+                "wq": _init_linear(bk[0], D, D),
+                "wk": _init_linear(bk[1], D, D),
+                "wv": _init_linear(bk[2], D, D),
+                "wo": _init_linear(bk[3], D, D, scale=out_scale),
+            },
+            "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
+            "mlp": {
+                "w1": _init_linear(bk[4], D, M),
+                "b1": jnp.zeros((M,)),
+                "w2": _init_linear(bk[5], M, D, scale=out_scale),
+                "b2": jnp.zeros((D,)),
+            },
+        })
+    return params
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, S, D = x.shape
+    return x.reshape(B, S, num_heads, D // num_heads)
+
+
+def attention(
+    q: jax.Array,  # [B, S, H, Hd]
+    k: jax.Array,  # [B, Skv, H, Hd]
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,  # [B, 1, S, Skv] additive
+) -> jax.Array:
+    Hd = q.shape[-1]
+    logits = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(Hd)
+    if mask is not None:
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def denoiser_forward(
+    params: Params,
+    cfg: DiffusionConfig,
+    x: jax.Array,                 # [B, S, D] noisy embeddings
+    t: jax.Array,                 # [B]
+    cached_kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # ([L,B,Skv,H,Hd], ...)
+    attn_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
+    return_kv: bool = False,
+    return_hidden: bool = False,
+):
+    """Predict noise; optionally consume cached K/V and emit fresh K/V.
+
+    With `cached_kv`, attention keys/values come from the cache (the previous
+    denoise step, possibly dequantized from a quantized page store) — the
+    reference's `forward_with_cache` (`lib.rs:910-915`). With `return_kv`, this
+    step's fresh K/V are returned for the cache update — the reference's
+    `update_kv_cache` (`lib.rs:826-835`) fused into the same pass.
+    """
+    B, S, D = x.shape
+    H = cfg.num_attention_heads
+    dtype = x.dtype
+
+    temb = timestep_embedding(t, D)
+    tm = params["time_mlp"]
+    temb = linear(jax.nn.gelu(linear(temb.astype(dtype), tm["w1"], tm["b1"])),
+                  tm["w2"], tm["b2"])
+    h = x + params["pos_embed"][:S].astype(dtype)[None] + temb[:, None, :]
+
+    mask = None
+    if attn_mask is not None:
+        mask = (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+
+    new_ks, new_vs = [], []
+    for li, blk in enumerate(params["blocks"]):
+        hn = layer_norm(h, blk["ln1"])
+        a = blk["attn"]
+        q = _split_heads(linear(hn, a["wq"]), H)
+        k = _split_heads(linear(hn, a["wk"]), H)
+        v = _split_heads(linear(hn, a["wv"]), H)
+        if return_kv:
+            new_ks.append(k)
+            new_vs.append(v)
+        if cached_kv is not None:
+            k = cached_kv[0][li].astype(dtype)
+            v = cached_kv[1][li].astype(dtype)
+        attn_out = attention(q, k, v, mask)
+        h = h + linear(attn_out.reshape(B, S, D), a["wo"])
+
+        hn = layer_norm(h, blk["ln2"])
+        m = blk["mlp"]
+        h = h + linear(jax.nn.gelu(linear(hn, m["w1"], m["b1"])),
+                       m["w2"], m["b2"])
+
+    h = layer_norm(h, params["ln_f"])
+    eps = linear(h, params["head"]["w"])
+
+    outs = [eps]
+    if return_kv:
+        outs.append((jnp.stack(new_ks), jnp.stack(new_vs)))  # [L, B, S, H, Hd]
+    if return_hidden:
+        outs.append(h)
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def embed_tokens(params: Params, token_ids: jax.Array,
+                 dtype=jnp.float32) -> jax.Array:
+    """Token ids [B, S] -> continuous embeddings [B, S, D]."""
+    emb = params["tok_embed"]
+    if hasattr(emb, "dequantize"):
+        emb = emb.dequantize()
+    return jnp.take(emb, token_ids, axis=0).astype(dtype)
+
+
+def logits_from_hidden(params: Params, h: jax.Array) -> jax.Array:
+    """Weight-tied readout: hidden [B, S, D] -> logits [B, S, V].
+
+    Implements the real logits path the reference only sketches in comments
+    (`diffusion_prefill/src/lib.rs:148-152`).
+    """
+    emb = params["tok_embed"]
+    if hasattr(emb, "dequantize"):
+        emb = emb.dequantize()
+    return jnp.einsum("bsd,vd->bsv", h.astype(jnp.float32),
+                      emb.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+
+def decode_tokens(params: Params, x: jax.Array) -> jax.Array:
+    """Map denoised embeddings [B, S, D] to nearest-token ids [B, S]."""
+    return jnp.argmax(logits_from_hidden(params, x), axis=-1)

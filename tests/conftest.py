@@ -8,10 +8,18 @@ kernels run in interpret mode.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may export JAX_PLATFORMS=axon (the TPU
+# tunnel), which is single-client and must stay free for bench runs.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: repeat test runs skip XLA recompiles.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/dlm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
