@@ -1,0 +1,253 @@
+"""Paged quantized KV cache: fixed-size token pages in HBM, per-page bits.
+
+The TPU-native replacement for the reference's monolithic `KVCacheEntry`
+(SURVEY.md §7 design mapping): pages are fixed token blocks quantized at
+append time with the *current phase's* bit-width, progressive precision is a
+per-page metadata field (new pages get fewer bits as decoding progresses)
+instead of a global re-quantization of the whole cache
+(`diffuse-llm-rs/src/lib.rs:893-904`), and cold pages spill to the host tier
+through `MemoryManager`.
+
+Unlike vLLM-style AR decode, every diffusion denoise step touches the WHOLE
+sequence (SURVEY.md §7 hard parts), so `gather` materializes a sequence's
+pages in order; the Pallas attention kernel (`ops.pallas_attention`) consumes
+the packed pages' layout directly.
+
+Storage pools are bucketed by bit-width (one uint8 pool per width) so shapes
+stay static for XLA; a page handle is (bits, slot).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_llm_rs_tpu.cache.salience import allocate_bits
+from diffusion_llm_rs_tpu.ops.pallas_attention import QuantKV, quantize_kv
+
+
+@dataclasses.dataclass
+class PageHandle:
+    bits: int
+    slot: int
+    tokens: int  # valid tokens in this page (<= page_size)
+
+
+@dataclasses.dataclass
+class _Pool:
+    """Device-resident page pool for one bit-width."""
+
+    k_data: jax.Array   # uint8 [num_pages, BH, P, D/vpb]
+    v_data: jax.Array
+    k_scale: jax.Array  # f32 [num_pages, BH, P]
+    k_zp: jax.Array
+    v_scale: jax.Array
+    v_zp: jax.Array
+    free: List[int] = dataclasses.field(default_factory=list)
+
+
+class PagedKVCache:
+    """Page-pooled quantized KV store for one model (all layers x heads folded
+    into the BH axis)."""
+
+    def __init__(self, bh: int, head_dim: int, page_size: int = 64,
+                 pages_per_bits: Optional[Dict[int, int]] = None,
+                 memory_manager=None):
+        self.bh = bh
+        self.head_dim = head_dim
+        self.page_size = page_size
+        self.memory_manager = memory_manager
+        pages_per_bits = pages_per_bits or {8: 64, 4: 128, 2: 128, 1: 64}
+        self._pools: Dict[int, _Pool] = {}
+        for bits, n in pages_per_bits.items():
+            vpb = 8 // bits
+            dp = head_dim // vpb
+            shape_d = (n, bh, page_size, dp)
+            shape_s = (n, bh, page_size)
+            self._pools[bits] = _Pool(
+                k_data=jnp.zeros(shape_d, jnp.uint8),
+                v_data=jnp.zeros(shape_d, jnp.uint8),
+                k_scale=jnp.ones(shape_s, jnp.float32),
+                k_zp=jnp.zeros(shape_s, jnp.float32),
+                v_scale=jnp.ones(shape_s, jnp.float32),
+                v_zp=jnp.zeros(shape_s, jnp.float32),
+                free=list(range(n - 1, -1, -1)))
+        # sequence id -> ordered page handles
+        self.page_tables: Dict[str, List[PageHandle]] = {}
+
+    # -- page lifecycle -----------------------------------------------------
+
+    def num_free(self, bits: int) -> int:
+        return len(self._pools[bits].free)
+
+    def _alloc(self, bits: int) -> int:
+        pool = self._pools[bits]
+        if not pool.free:
+            raise MemoryError(f"no free {bits}-bit pages")
+        return pool.free.pop()
+
+    def append(self, seq_id: str, k: jax.Array, v: jax.Array,
+               bits: int) -> List[PageHandle]:
+        """Append [BH, S, D] K/V, quantized at `bits`, page by page."""
+        BH, S, D = k.shape
+        assert BH == self.bh and D == self.head_dim, (k.shape, self.bh)
+        handles = self.page_tables.setdefault(seq_id, [])
+        P = self.page_size
+        for start in range(0, S, P):
+            tokens = min(P, S - start)
+            kc = k[:, start:start + tokens]
+            vc = v[:, start:start + tokens]
+            if tokens < P:  # pad the tail page
+                pad = P - tokens
+                kc = jnp.pad(kc, ((0, 0), (0, pad), (0, 0)))
+                vc = jnp.pad(vc, ((0, 0), (0, pad), (0, 0)))
+            qk = quantize_kv(kc, bits)
+            qv = quantize_kv(vc, bits)
+            slot = self._alloc(bits)
+            pool = self._pools[bits]
+            pool.k_data = pool.k_data.at[slot].set(qk.data)
+            pool.v_data = pool.v_data.at[slot].set(qv.data)
+            pool.k_scale = pool.k_scale.at[slot].set(qk.scale)
+            pool.k_zp = pool.k_zp.at[slot].set(qk.zero_point)
+            pool.v_scale = pool.v_scale.at[slot].set(qv.scale)
+            pool.v_zp = pool.v_zp.at[slot].set(qv.zero_point)
+            handles.append(PageHandle(bits=bits, slot=slot, tokens=tokens))
+        return handles
+
+    def append_salient(self, seq_id: str, k: jax.Array, v: jax.Array,
+                       scores: np.ndarray, budget_bits: float,
+                       bit_options: Sequence[int] = (8, 4, 2, 1)) -> None:
+        """Salience-driven per-page bit allocation (BASELINE.json config 4):
+        per-page scores -> widths under an average budget, pages quantized
+        accordingly."""
+        S = k.shape[1]
+        P = self.page_size
+        n_pages = -(-S // P)
+        page_scores = np.asarray([
+            float(np.max(scores[i * P:(i + 1) * P])) for i in range(n_pages)])
+        bits_per_page = allocate_bits(page_scores, budget_bits, bit_options)
+        for i in range(n_pages):
+            self.append(seq_id, k[:, i * P:(i + 1) * P],
+                        v[:, i * P:(i + 1) * P], int(bits_per_page[i]))
+
+    def gather(self, seq_id: str) -> Tuple[jax.Array, jax.Array]:
+        """Materialize a sequence's full K/V [BH, S, D] (dequantized).
+
+        Mixed-precision page chains dequantize per page; single-width chains
+        could hand packed pages straight to the attention kernel (round-2:
+        scalar-prefetch page table in-kernel).
+        """
+        handles = self.page_tables.get(seq_id)
+        if not handles:
+            raise KeyError(f"unknown sequence {seq_id!r}")
+        ks, vs = [], []
+        for h in handles:
+            pool = self._pools[h.bits]
+            qk = QuantKV(data=pool.k_data[h.slot], scale=pool.k_scale[h.slot],
+                         zero_point=pool.k_zp[h.slot], bits=h.bits,
+                         D=self.head_dim)
+            qv = QuantKV(data=pool.v_data[h.slot], scale=pool.v_scale[h.slot],
+                         zero_point=pool.v_zp[h.slot], bits=h.bits,
+                         D=self.head_dim)
+            ks.append(qk.dequantize()[:, :h.tokens])
+            vs.append(qv.dequantize()[:, :h.tokens])
+        return jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1)
+
+    def gather_packed(self, seq_id: str) -> Tuple[QuantKV, QuantKV]:
+        """Packed K/V for the attention kernel. Requires a uniform-width page
+        chain and full pages."""
+        handles = self.page_tables.get(seq_id)
+        if not handles:
+            raise KeyError(f"unknown sequence {seq_id!r}")
+        bits = handles[0].bits
+        if any(h.bits != bits for h in handles):
+            raise ValueError("mixed-precision chain: use gather()")
+        pool = self._pools[bits]
+        slots = jnp.asarray([h.slot for h in handles])
+
+        def cat(arr):
+            # [n, BH, P, ...] -> [BH, n*P, ...]
+            pages = arr[slots]
+            moved = jnp.moveaxis(pages, 0, 1)
+            return moved.reshape(self.bh, -1, *arr.shape[3:])
+
+        total = sum(h.tokens for h in handles)
+        qk = QuantKV(data=cat(pool.k_data)[:, :total],
+                     scale=cat(pool.k_scale)[:, :total],
+                     zero_point=cat(pool.k_zp)[:, :total],
+                     bits=bits, D=self.head_dim)
+        qv = QuantKV(data=cat(pool.v_data)[:, :total],
+                     scale=cat(pool.v_scale)[:, :total],
+                     zero_point=cat(pool.v_zp)[:, :total],
+                     bits=bits, D=self.head_dim)
+        return qk, qv
+
+    def free(self, seq_id: str) -> int:
+        """Release a sequence's pages back to the pools."""
+        handles = self.page_tables.pop(seq_id, [])
+        for h in handles:
+            self._pools[h.bits].free.append(h.slot)
+        return len(handles)
+
+    def seq_len(self, seq_id: str) -> int:
+        return sum(h.tokens for h in self.page_tables.get(seq_id, []))
+
+    def memory_usage(self) -> int:
+        """Bytes held by allocated (non-free) pages, packed + sidecars."""
+        total = 0
+        for bits, pool in self._pools.items():
+            n_alloc = pool.k_data.shape[0] - len(pool.free)
+            per_page = (2 * pool.k_data.shape[1] * pool.k_data.shape[2] *
+                        pool.k_data.shape[3] +          # k+v packed
+                        4 * pool.k_scale.shape[1] * pool.k_scale.shape[2] * 4)
+            total += n_alloc * per_page
+        return total
+
+    def spill_page(self, seq_id: str, page_idx: int) -> None:
+        """Demote one page to the host tier via MemoryManager (io-dedup's
+        SSD-spill capability, SURVEY.md §5.7)."""
+        if self.memory_manager is None:
+            raise RuntimeError("no MemoryManager attached")
+        h = self.page_tables[seq_id][page_idx]
+        pool = self._pools[h.bits]
+        payload = {
+            "k_data": np.asarray(pool.k_data[h.slot]),
+            "v_data": np.asarray(pool.v_data[h.slot]),
+            "k_scale": np.asarray(pool.k_scale[h.slot]),
+            "k_zp": np.asarray(pool.k_zp[h.slot]),
+            "v_scale": np.asarray(pool.v_scale[h.slot]),
+            "v_zp": np.asarray(pool.v_zp[h.slot]),
+        }
+        key = f"kvpage:{seq_id}:{page_idx}"
+        for name, arr in payload.items():
+            self.memory_manager.allocate(f"{key}:{name}", arr, tier="host")
+        pool.free.append(h.slot)
+        h.slot = -1  # spilled marker
+
+    def restore_page(self, seq_id: str, page_idx: int) -> None:
+        h = self.page_tables[seq_id][page_idx]
+        if h.slot != -1:
+            return
+        pool = self._pools[h.bits]
+        key = f"kvpage:{seq_id}:{page_idx}"
+        slot = self._alloc(h.bits)
+        mm = self.memory_manager
+        pool.k_data = pool.k_data.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:k_data"))))
+        pool.v_data = pool.v_data.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:v_data"))))
+        pool.k_scale = pool.k_scale.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:k_scale"))))
+        pool.k_zp = pool.k_zp.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:k_zp"))))
+        pool.v_scale = pool.v_scale.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:v_scale"))))
+        pool.v_zp = pool.v_zp.at[slot].set(
+            jnp.asarray(np.asarray(mm.get(f"{key}:v_zp"))))
+        for name in ("k_data", "v_data", "k_scale", "k_zp", "v_scale", "v_zp"):
+            mm.deallocate(f"{key}:{name}")
+        h.slot = slot

@@ -96,13 +96,30 @@ class Engine:
     # weight quantization
     # ------------------------------------------------------------------
 
-    def quantize_weights(self, bits: int) -> None:
+    def quantize_weights(self, bits: int, kernel_layout: bool = True) -> None:
         """Weight-only quantization of all large matrices (GPTQ-style groups
-        along the contraction axis, `quantization/src/types.rs:112-132`)."""
+        along the contraction axis, `quantization/src/types.rs:112-132`).
+
+        With kernel_layout (default), 2-D quantized weights are repacked once
+        into the Pallas fused-matmul layout (`ops.pallas_matmul.prepare`)."""
+        from diffusion_llm_rs_tpu.ops import pallas_matmul
+        from diffusion_llm_rs_tpu.quant.core import QuantizedTensor
+
         self.params = quantize_tree(
             self.params, bits,
             symmetric=self.config.weight_quant.sym,
             group_size=self.config.weight_quant.group_size)
+        if kernel_layout:
+            def _prep(leaf):
+                if isinstance(leaf, QuantizedTensor) and leaf.ndim == 2:
+                    try:
+                        return pallas_matmul.prepare(leaf)
+                    except ValueError:
+                        return leaf
+                return leaf
+            self.params = jax.tree_util.tree_map(
+                _prep, self.params,
+                is_leaf=lambda l: isinstance(l, QuantizedTensor))
         self._weight_bits = bits
 
     # ------------------------------------------------------------------
@@ -232,7 +249,7 @@ class Engine:
         to weight/KV quantization — the measurable stand-in for the perplexity
         deltas BASELINE.md requires (the reference has no trained weights).
         """
-        ids = self.tokenizer.encode(text)
+        ids = self.tokenizer.encode(text)[: self.config.max_sequence_length]
         if len(ids) < 2:
             raise ValueError("need at least 2 tokens")
         ids_arr = jnp.asarray([ids], jnp.int32)

@@ -156,6 +156,7 @@ def denoiser_forward(
     attn_mask: Optional[jax.Array] = None,  # [B, S] 1=keep
     return_kv: bool = False,
     return_hidden: bool = False,
+    cached_qkv=None,  # list per layer of (QuantKV k, QuantKV v) — packed path
 ):
     """Predict noise; optionally consume cached K/V and emit fresh K/V.
 
@@ -166,6 +167,10 @@ def denoiser_forward(
     `update_kv_cache` (`lib.rs:826-835`) fused into the same pass.
     """
     B, S, D = x.shape
+    if S > cfg.max_sequence_length:
+        raise ValueError(
+            f"sequence length {S} exceeds max_sequence_length "
+            f"{cfg.max_sequence_length}")
     H = cfg.num_attention_heads
     dtype = x.dtype
 
@@ -189,10 +194,19 @@ def denoiser_forward(
         if return_kv:
             new_ks.append(k)
             new_vs.append(v)
-        if cached_kv is not None:
-            k = cached_kv[0][li].astype(dtype)
-            v = cached_kv[1][li].astype(dtype)
-        attn_out = attention(q, k, v, mask)
+        if cached_qkv is not None:
+            # packed path: Pallas flash attention reads quantized K/V directly
+            from diffusion_llm_rs_tpu.ops import pallas_attention as pa
+            qk, qv = cached_qkv[li]
+            q_r = q.transpose(0, 2, 1, 3).reshape(B * H, S, D // H)
+            attn_out = pa.attention(q_r.astype(dtype), qk, qv)
+            attn_out = attn_out.reshape(B, H, S, D // H).transpose(0, 2, 1, 3)
+            attn_out = attn_out.astype(dtype)
+        else:
+            if cached_kv is not None:
+                k = cached_kv[0][li].astype(dtype)
+                v = cached_kv[1][li].astype(dtype)
+            attn_out = attention(q, k, v, mask)
         h = h + linear(attn_out.reshape(B, S, D), a["wo"])
 
         hn = layer_norm(h, blk["ln2"])

@@ -90,6 +90,20 @@ def _quantize_kv_pair(kv: Tuple[jax.Array, jax.Array], bits: int):
     return q(kv[0]), q(kv[1])
 
 
+def _quantize_kv_packed(kv: Tuple[jax.Array, jax.Array], bits: int):
+    """Quantize stacked K/V [L, B, S, H, Hd] into per-layer packed QuantKV
+    pairs ([B*H, S, Hd] layout) for the Pallas attention kernel."""
+    from diffusion_llm_rs_tpu.ops import pallas_attention as pa
+    L, B, S, H, Hd = kv[0].shape
+
+    def fold(arr):
+        return arr.transpose(0, 1, 3, 2, 4).reshape(L, B * H, S, Hd)
+
+    kf, vf = fold(kv[0]), fold(kv[1])
+    return tuple((pa.quantize_kv(kf[li], bits), pa.quantize_kv(vf[li], bits))
+                 for li in range(L))
+
+
 def _dequantize_kv_pair(qkv) -> Tuple[jax.Array, jax.Array]:
     return dequantize(qkv[0]), dequantize(qkv[1])
 
@@ -103,6 +117,7 @@ def phase_aware_sample(
     num_steps: Optional[int] = None,
     *,
     use_cache: bool = True,
+    kernel_cache: bool = True,
     forward_fn: Optional[Callable] = None,
 ) -> jax.Array:
     """Sample [batch, seq, hidden] embeddings via phase-aware quantized KV.
@@ -142,6 +157,41 @@ def phase_aware_sample(
     t_vec = jnp.full((batch,), T - 1, jnp.int32)
     eps, kv = fwd(params, cfg, x, t_vec, return_kv=True)
     x = p_sample(schedule, x, t_vec, eps, sub)
+
+    if kernel_cache:
+        # packed carry: per-layer QuantKV pairs, attention kernel reads them
+        # directly — the cache is never materialized in fp between steps
+        qkv = _quantize_kv_packed(kv, first_bits)
+
+        def make_step(bits):
+            def step(carry, t_scalar):
+                x, qkv, key = carry
+                key, sub = jax.random.split(key)
+                t_vec = jnp.full((batch,), t_scalar, jnp.int32)
+                eps, kv = fwd(params, cfg, x, t_vec, cached_qkv=qkv,
+                              return_kv=True)
+                nqkv = _quantize_kv_packed(kv, bits)
+                x = p_sample(schedule, x, t_vec, eps, sub)
+                return (x, nqkv, key), None
+            return step
+
+        remaining = list(segments)
+        bits0, hi0, lo0 = remaining[0]
+        remaining[0] = (bits0, hi0 - 1, lo0)
+        for bits, hi, lo in remaining:
+            if hi < lo:
+                continue
+            if qkv[0][0].bits != bits:
+                # segment boundary: requantize the carry at the new width
+                deq = tuple((k.dequantize(), v.dequantize()) for k, v in qkv)
+                from diffusion_llm_rs_tpu.ops import pallas_attention as pa
+                qkv = tuple((pa.quantize_kv(k, bits), pa.quantize_kv(v, bits))
+                            for k, v in deq)
+            ts = jnp.arange(hi, lo - 1, -1)
+            (x, qkv, key), _ = jax.lax.scan(
+                make_step(bits), (x, qkv, key), ts)
+        return x
+
     qkv = _quantize_kv_pair(kv, first_bits)
 
     def make_step(bits):

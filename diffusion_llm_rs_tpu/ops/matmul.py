@@ -81,7 +81,12 @@ def linear(
 ) -> jax.Array:
     """Dense layer y = x @ w + b with quantization-aware dispatch."""
     out_dtype = preferred_dtype or x.dtype
-    if isinstance(w, QuantizedTensor):
+    # MatmulWeight: kernel-ready packed layout -> Pallas fused dequant+matmul
+    from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
+    if isinstance(w, MatmulWeight):
+        from diffusion_llm_rs_tpu.ops import pallas_matmul
+        y = pallas_matmul.matmul(x, w, out_dtype=jnp.float32).astype(out_dtype)
+    elif isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, preferred_dtype=jnp.float32).astype(out_dtype)
     elif isinstance(w, Fp8Tensor):
         y = jnp.dot(x, w.data.astype(x.dtype),

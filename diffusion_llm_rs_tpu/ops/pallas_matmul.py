@@ -1,0 +1,232 @@
+"""Pallas TPU kernel: fused dequant + matmul for 1/2/4/8-bit weights.
+
+The per-chip speed-of-light item (SURVEY.md §2.2 item 3, BASELINE.json north
+star): the reference dequantizes whole tensors to f32 on host then `dot`s
+(`diffuse-llm-rs/src/lib.rs:178-190,812`); here the packed weights stay packed
+in HBM and are unpacked in-register inside the matmul tile loop.
+
+Layout (`MatmulWeight`, produced once at weight-load time by `prepare`):
+  - W [K, N] quantized at `bits` with groups of `group_size` along K.
+  - data: uint8 [K/vpb, N], *block-packed* along K: byte (k, n) holds the
+    levels of W[s*Kp + k, n] in bit-field s (Kp = K/vpb, vpb = 8/bits).
+    Because matmul sums over K, the contraction order is free — block packing
+    means in-kernel unpacking is a shift+mask per part with NO sublane/lane
+    interleave (each part is a contiguous row block of x).
+  - scale/zero_point: f32 [K/G, N] sidecars (or [1, N] per-channel, [1, 1]
+    per-tensor).
+
+Kernel math per (part s, K-segment g):
+    acc += (x_g @ q_g - rowsum(x_g) * zp_g) * scale_g
+i.e. the affine zero-point folds into a per-segment rank-1 correction, so the
+MXU sees a plain int->bf16 matmul; the VPU applies per-group scales to the
+(TM, TN) f32 accumulator tile. Segment width = gcd(group_size, Kp) keeps
+segments inside both one group and one part (width 128 for int4/int8 with
+G=128 — exactly the MXU contraction size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffusion_llm_rs_tpu.quant.core import (
+    QuantizedTensor,
+    dequantize,
+    unpack_bits,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MatmulWeight:
+    """Kernel-ready quantized weight (see module docstring for layout)."""
+
+    data: jax.Array         # uint8 [Kp, N]
+    scale: jax.Array        # f32 [K/G, N]
+    zero_point: jax.Array   # f32 [K/G, N]
+    bits: int
+    K: int
+    N: int
+    group_size: int         # effective group size along K
+
+    def tree_flatten(self):
+        return ((self.data, self.scale, self.zero_point),
+                (self.bits, self.K, self.N, self.group_size))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.K, self.N)
+
+    @property
+    def ndim(self):
+        return 2
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        vpb = 8 // self.bits
+        Kp = self.K // vpb
+        mask = jnp.uint8((1 << self.bits) - 1)
+        parts = [((self.data >> jnp.uint8(s * self.bits)) & mask)
+                 for s in range(vpb)]
+        levels = jnp.concatenate(parts, axis=0).astype(jnp.float32)  # [K, N]
+        G = self.group_size
+        lv = levels.reshape(self.K // G, G, self.N)
+        out = (lv - self.zero_point[:, None, :]) * self.scale[:, None, :]
+        return out.reshape(self.K, self.N).astype(dtype)
+
+
+def prepare(qt: QuantizedTensor) -> MatmulWeight:
+    """One-time repack of a core QuantizedTensor (packed along N) into the
+    kernel's block-packed-along-K layout. Run at weight-load time."""
+    if qt.ndim != 2:
+        raise ValueError(f"expected 2-D weight, got {qt.shape}")
+    K, N = qt.shape
+    bits = qt.bits
+    vpb = 8 // bits
+    if K % vpb != 0:
+        raise ValueError(f"K={K} not divisible by values-per-byte {vpb}")
+    levels = unpack_bits(qt.data, bits, N)  # [K, N] uint8
+
+    if qt.granularity == "group":
+        if qt.axis != 0:
+            raise ValueError("matmul weights must be grouped along K (axis 0)")
+        G = qt.group_size
+        scale = qt.scale.astype(jnp.float32)
+        zp = qt.zero_point.astype(jnp.float32)
+    elif qt.granularity == "channel":
+        G = K
+        scale = qt.scale.reshape(1, -1).astype(jnp.float32)
+        zp = qt.zero_point.reshape(1, -1).astype(jnp.float32)
+        if scale.shape[1] == 1:  # channel along K: expand to [K, N] groups of 1
+            raise ValueError("per-K-channel weights unsupported; use group")
+    else:  # tensor
+        G = K
+        scale = jnp.broadcast_to(qt.scale.reshape(1, 1), (1, N)).astype(jnp.float32)
+        zp = jnp.broadcast_to(qt.zero_point.reshape(1, 1), (1, N)).astype(jnp.float32)
+
+    Kp = K // vpb
+    if bits == 8:
+        packed = levels
+    else:
+        parts = levels.reshape(vpb, Kp, N)
+        acc = parts[0]
+        for s in range(1, vpb):
+            acc = acc | (parts[s] << jnp.uint8(s * bits))
+        packed = acc
+    return MatmulWeight(data=packed, scale=scale, zero_point=zp, bits=bits,
+                        K=K, N=N, group_size=G)
+
+
+def _kernel(x_ref, w_ref, scale_ref, zp_ref, out_ref, w_bf, *,
+            bits: int, K: int, seg: int, n_scale_rows: int):
+    """One (TM, TN) output tile; full K resident in VMEM.
+
+    Grid is (N/TN, M/TM) with the N-column OUTER, so the unpack+dequant of the
+    weight column into the bf16 VMEM scratch `w_bf` runs once per column
+    (i == 0) and is reused by every M-tile — at steady state the MXU sees one
+    full-width bf16 matmul per tile, and the only extra HBM traffic vs a bf16
+    matmul is the (bits/16)x smaller packed weight read.
+    """
+    vpb = 8 // bits
+    Kp = K // vpb
+    mask = (1 << bits) - 1
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        # Mosaic legalizes neither 8-bit vector shifts (arith.shrui on i8)
+        # nor direct uint8->bf16 casts: widen to int32, shift/mask, then f32.
+        w32 = w_ref[:].astype(jnp.int32)
+        for s in range(vpb):
+            lv = ((w32 >> (s * bits)) & mask).astype(jnp.float32)  # [Kp, TN]
+            for g in range(Kp // seg):
+                k0 = g * seg
+                grow = (s * Kp + k0) // (K // n_scale_rows)
+                sc = scale_ref[grow:grow + 1, :]   # [1, TN]
+                zp = zp_ref[grow:grow + 1, :]
+                w_bf[s * Kp + k0: s * Kp + k0 + seg, :] = (
+                    (lv[k0:k0 + seg, :] - zp) * sc).astype(jnp.bfloat16)
+
+    out_ref[:] = jnp.dot(x_ref[:], w_bf[:],
+                         preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
+
+
+def _pick_tile(M: int, N: int) -> Optional[Tuple[int, int]]:
+    tm = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
+    tn = next((t for t in (512, 256, 128) if N % t == 0), None)
+    if tm is None or tn is None:
+        return None
+    return tm, tn
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32) -> jax.Array:
+    """x [..., K] @ W -> [..., N] with in-kernel dequantization."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    if K != w.K:
+        raise ValueError(f"contraction mismatch: x K={K}, w K={w.K}")
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    vpb = 8 // w.bits
+    Kp = K // vpb
+    seg = math.gcd(w.group_size, Kp)
+    tiles = _pick_tile(M, w.N)
+    if tiles is None or seg % 8 != 0:
+        # shape not kernel-friendly: fused XLA fallback
+        out = jnp.dot(x2.astype(jnp.bfloat16), w.dequantize(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return out.reshape(*lead, w.N).astype(out_dtype)
+    TM, TN = tiles
+    n_scale_rows = w.scale.shape[0]
+
+    kernel = functools.partial(_kernel, bits=w.bits, K=K, seg=seg,
+                               n_scale_rows=n_scale_rows)
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=(w.N // TN, M // TM),   # N-column outer: scratch reused over M
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, w.N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((K, TN), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * w.N,
+            bytes_accessed=M * K * 2 + Kp * w.N + M * w.N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2.astype(jnp.bfloat16), w.data, w.scale, w.zero_point)
+    return out.reshape(*lead, w.N)
+
+
+def fused_dequant_matmul(x: jax.Array,
+                         qt: QuantizedTensor) -> Optional[jax.Array]:
+    """Dispatch entry used by ops.matmul for raw QuantizedTensors.
+
+    Repacking per call would double weight traffic, so this only fires for
+    kernel-ready `MatmulWeight`s (see `ops.matmul.linear` dispatch); for plain
+    QuantizedTensors it returns None and the caller uses the XLA-fused path.
+    """
+    return None

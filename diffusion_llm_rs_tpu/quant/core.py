@@ -369,16 +369,23 @@ def quantize_fp8(x: jax.Array) -> Fp8Tensor:
 
 def quantize_tree(params, bits: int, *, min_size: int = 1024,
                   symmetric: bool = False, granularity: Granularity = "group",
-                  group_size: int = 128, axis: int = 0):
+                  group_size: int = 128, axis: int = 0,
+                  exclude: Sequence[str] = ("pos_embed",)):
     """Quantize every large >=2D leaf of a parameter pytree.
 
     Small tensors (biases, layernorm gains) stay in full precision — standard
     weight-only quantization. Group axis defaults to 0 (the contraction axis of
     `x @ W`), matching GPTQ-style per-input-channel groups
-    (`quantization/src/types.rs:112-132`).
+    (`quantization/src/types.rs:112-132`). Leaves whose path contains any
+    `exclude` substring stay fp (positional embeddings are sliced per-sequence
+    and must remain indexable).
     """
 
-    def _q(leaf):
+    def _q(path, leaf):
+        path_str = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if any(e in path_str for e in exclude):
+            return leaf
         if not isinstance(leaf, jnp.ndarray) and not isinstance(leaf, np.ndarray):
             return leaf
         if leaf.ndim < 2 or leaf.size < min_size or not jnp.issubdtype(leaf.dtype, jnp.floating):
@@ -391,13 +398,17 @@ def quantize_tree(params, bits: int, *, min_size: int = 1024,
         return quantize(leaf, bits, symmetric=symmetric, granularity=granularity,
                         group_size=gs, axis=axis)
 
-    return jax.tree_util.tree_map(_q, params)
+    return jax.tree_util.tree_map_with_path(_q, params)
 
 
 def dequantize_tree(params, dtype=jnp.float32):
+    def _is_q(l):
+        # duck-typed: QuantizedTensor, Fp8Tensor, ops.pallas_matmul.MatmulWeight
+        return hasattr(l, "dequantize") and hasattr(l, "bits") or \
+            isinstance(l, (QuantizedTensor, Fp8Tensor))
+
     def _d(leaf):
-        if isinstance(leaf, (QuantizedTensor, Fp8Tensor)):
+        if _is_q(leaf):
             return leaf.dequantize(dtype)
         return leaf
-    return jax.tree_util.tree_map(
-        _d, params, is_leaf=lambda l: isinstance(l, (QuantizedTensor, Fp8Tensor)))
+    return jax.tree_util.tree_map(_d, params, is_leaf=_is_q)

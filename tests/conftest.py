@@ -21,5 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Persistent compilation cache: repeat test runs skip XLA recompiles.
 import jax  # noqa: E402
 
+# The axon TPU plugin can override JAX_PLATFORMS from the environment; force
+# CPU + 8 virtual devices at the config level too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/dlm_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

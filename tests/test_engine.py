@@ -1,0 +1,139 @@
+"""End-to-end Engine tests (reference `test_diffusion_prefill`,
+`diffusion_prefill/src/lib.rs:181-194`, and the process_model pipeline,
+`lib.rs:66-86`) plus phase-aware sampler segment planning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_llm_rs_tpu.config import DiffusionConfig, PrefillConfig, SystemConfig
+from diffusion_llm_rs_tpu.models import sampler as sp
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    from diffusion_llm_rs_tpu.engine import Engine
+    tmp = tmp_path_factory.mktemp("store")
+    cfg = DiffusionConfig.tiny(vocab_size=512)
+    return Engine(
+        config=cfg,
+        prefill_config=PrefillConfig(embedding_dim=cfg.hidden_size),
+        system_config=SystemConfig(ssd_path=str(tmp / "store.bin")))
+
+
+def test_engine_prefill_and_stats(engine):
+    n = engine.prefill("The quick brown fox")
+    assert n > 0
+    s = engine.stats()
+    assert s["prefill_vectors"] == n
+    assert s["router_nodes"] >= n
+    # zero-vector on miss (prefill_kv.rs:94-97)
+    vecs = engine.get_cached_vectors(["default:0", "missing"])
+    assert np.any(vecs[0] != 0)
+    assert np.all(vecs[1] == 0)
+
+
+def test_engine_process_model(engine):
+    r = engine.process_model("hello world hello world hello")
+    assert r["tokens"] > 0
+    assert r["stored"] > 0
+    # repeated tokens embed identically -> dedup must fire
+    assert r["dedup_hits"] > 0
+    assert len(engine.anns) >= r["stored"]
+
+
+def test_engine_generate(engine):
+    out = engine.generate("The quick", max_length=4)
+    assert isinstance(out, str)  # may be empty if EOS wins immediately
+
+
+def test_engine_sample_decodes_text(engine):
+    texts = engine.sample(batch_size=1, seq_len=8, num_steps=6)
+    assert len(texts) == 1 and isinstance(texts[0], str)
+    ids = engine.sample(batch_size=2, seq_len=4, num_steps=4,
+                        return_text=False)
+    assert ids.shape == (2, 4)
+    assert int(jnp.max(ids)) < engine.config.vocab_size
+
+
+def test_engine_denoising_perplexity_quantization_ordering(engine):
+    text = "the quick brown fox jumps over the lazy dog " * 3
+    ppl16 = engine.denoising_perplexity(text, t=5)
+    assert np.isfinite(ppl16) and ppl16 > 0
+    # quantizing weights must not *improve* reconstruction fidelity much;
+    # heavily quantized weights should degrade it
+    from diffusion_llm_rs_tpu.engine import Engine
+    eng2 = Engine(config=engine.config,
+                  prefill_config=engine.prefill_config,
+                  system_config=SystemConfig(
+                      ssd_path=engine.system_config.ssd_path + ".q"),
+                  tokenizer=engine.tokenizer,
+                  params=engine.params)
+    eng2.quantize_weights(2)
+    ppl2 = eng2.denoising_perplexity(text, t=5)
+    assert ppl2 >= ppl16 * 0.9  # int2 can't be meaningfully better
+
+
+def test_engine_vocab_guard():
+    from diffusion_llm_rs_tpu.engine import Engine
+    with pytest.raises(ValueError):
+        Engine(config=DiffusionConfig.tiny(vocab_size=8))
+
+
+# --- sampler segment planning ----------------------------------------------
+
+def _cfg(**kw):
+    return DiffusionConfig.tiny(**kw)
+
+
+def test_plan_segments_phase_split():
+    cfg = _cfg()  # prefill 8, decode 4 -> min 2, progressive
+    segs = sp.plan_segments(100, cfg)
+    # execution order: t descending; first segment is the prefill half at 8 bits
+    bits_seq = [b for b, _, _ in segs]
+    assert bits_seq[0] == 8
+    assert segs[0][1] == 99 and segs[0][2] == 51  # t > 50 is prefill
+    # decode phase progressively reduces: 4 then 2
+    assert bits_seq[1:] == [4, 2]
+    # segments tile the range exactly
+    covered = sum(hi - lo + 1 for _, hi, lo in segs)
+    assert covered == 100
+
+
+def test_plan_segments_no_phase_aware():
+    cfg = _cfg(use_phase_aware_quant=False, kv_quant_bits=4)
+    segs = sp.plan_segments(50, cfg)
+    assert len(segs) == 1 and segs[0][0] == 4
+
+
+def test_plan_segments_no_progressive():
+    cfg = _cfg()
+    cfg.quant_config.progressive_precision = False
+    segs = sp.plan_segments(50, cfg)
+    assert [b for b, _, _ in segs] == [8, 4]
+
+
+def test_bucket_bits():
+    assert sp.bucket_bits(8.0) == 8
+    assert sp.bucket_bits(7.9) == 4
+    assert sp.bucket_bits(3.0) == 2
+    assert sp.bucket_bits(1.5) == 1
+    assert sp.bucket_bits(0.2) == 1
+
+
+def test_phase_aware_sample_runs(engine):
+    """Full quantized-cache sampling path produces finite output."""
+    from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule
+    cfg = engine.config
+    x = sp.phase_aware_sample(engine.params, cfg, engine.schedule, (1, 4),
+                              jax.random.PRNGKey(0), num_steps=8)
+    assert x.shape == (1, 4, cfg.hidden_size)
+    assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_phase_aware_sample_no_cache_matches_shape(engine):
+    x = sp.phase_aware_sample(engine.params, engine.config, engine.schedule,
+                              (2, 4), jax.random.PRNGKey(1), num_steps=4,
+                              use_cache=False)
+    assert x.shape == (2, 4, engine.config.hidden_size)

@@ -1,0 +1,72 @@
+"""Quantized-KV flash attention kernel vs f32 reference (interpret on CPU)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_llm_rs_tpu.ops import pallas_attention as pa
+
+
+def _ref_attention(q, k, v, sm_scale):
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * sm_scale
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantize_kv_roundtrip(bits):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 64)).astype(np.float32))
+    qkv = pa.quantize_kv(x, bits)
+    deq = qkv.dequantize()
+    step = float(jnp.max(x) - jnp.min(x)) / (2 ** bits - 1)
+    assert float(jnp.max(jnp.abs(deq - x))) <= step
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+def test_attention_matches_reference(bits):
+    rng = np.random.default_rng(1)
+    BH, Sq, Skv, D = 2, 16, 128, 64
+    q = jnp.asarray(rng.normal(size=(BH, Sq, D)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(BH, Skv, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(BH, Skv, D)).astype(np.float32))
+    k = pa.quantize_kv(kf, bits)
+    v = pa.quantize_kv(vf, bits)
+    sm = 1.0 / math.sqrt(D)
+    out = pa.attention(q, k, v)
+    # reference computed on the DEQUANTIZED kv (isolates kernel error from
+    # quantization error)
+    ref = _ref_attention(q, k.dequantize(), v.dequantize(), sm)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+
+
+def test_attention_vs_fp_quality():
+    """int8 KV attention should track full-precision attention closely."""
+    rng = np.random.default_rng(2)
+    BH, S, D = 4, 128, 64
+    q = jnp.asarray(rng.normal(size=(BH, 32, D)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    out8 = pa.attention(q, pa.quantize_kv(kf, 8), pa.quantize_kv(vf, 8))
+    ref = _ref_attention(q, kf, vf, 1.0 / math.sqrt(D))
+    rel = float(jnp.linalg.norm(out8 - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+    # 2-bit must be worse than 8-bit but still finite
+    out2 = pa.attention(q, pa.quantize_kv(kf, 2), pa.quantize_kv(vf, 2))
+    rel2 = float(jnp.linalg.norm(out2 - ref) / jnp.linalg.norm(ref))
+    assert np.isfinite(rel2) and rel2 > rel
+
+
+def test_attention_fallback_odd_shapes():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 5, 48)).astype(np.float32))
+    kf = jnp.asarray(rng.normal(size=(1, 30, 48)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(1, 30, 48)).astype(np.float32))
+    out = pa.attention(q, pa.quantize_kv(kf, 8), pa.quantize_kv(vf, 8))
+    ref = _ref_attention(q, kf, vf, 1.0 / math.sqrt(48))
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 3e-2
