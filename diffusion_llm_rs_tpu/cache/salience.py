@@ -164,18 +164,14 @@ def allocate_bits(scores, budget_bits: float,
     if n == 0:
         return np.zeros((0,), np.int32)
     bits = np.full(n, opts[0], np.int32)
-    budget_total = budget_bits * n
-    order = np.argsort(-scores)
-    for level in opts[1:]:
-        for i in order:
-            if bits[i] >= level:
-                continue
+    # visit blocks most-salient first; give each the highest width the
+    # remaining budget affords (later blocks keep at least the floor width)
+    extra = budget_bits * n - float(bits.sum())
+    for i in np.argsort(-scores, kind="stable"):
+        for level in reversed(opts):
             delta = level - bits[i]
-            if bits.sum() + delta <= budget_total:
+            if delta <= extra:
                 bits[i] = level
-            else:
-                # cheapest remaining upgrade also fails for everything after
-                # (same delta within a level sweep) -> next level won't fit
-                # for this block; try later blocks (smaller? no, same delta)
+                extra -= delta
                 break
     return bits
