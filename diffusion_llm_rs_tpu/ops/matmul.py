@@ -85,7 +85,9 @@ def linear(
     from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
     if isinstance(w, MatmulWeight):
         from diffusion_llm_rs_tpu.ops import pallas_matmul
-        y = pallas_matmul.matmul(x, w, out_dtype=jnp.float32).astype(out_dtype)
+        # kernel accumulates f32 on the MXU and writes out_dtype directly —
+        # no post-hoc cast pass over the activations
+        y = pallas_matmul.matmul(x, w, out_dtype=out_dtype)
     elif isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, preferred_dtype=jnp.float32).astype(out_dtype)
     elif isinstance(w, Fp8Tensor):
