@@ -90,20 +90,41 @@ class Engine:
         self.memory = MemoryManager(
             hbm_budget=self.system_config.hbm_size_gb << 30)
         self._prefill_store: Dict[str, CompressedVector] = {}
+        self._attention_masks: Dict[str, np.ndarray] = {}
         self._weight_bits: Optional[int] = None
 
     # ------------------------------------------------------------------
     # weight quantization
     # ------------------------------------------------------------------
 
-    def quantize_weights(self, bits: int, kernel_layout: bool = True) -> None:
+    def quantize_weights(self, bits: int, kernel_layout: bool = True,
+                         method: str = "int") -> None:
         """Weight-only quantization of all large matrices (GPTQ-style groups
         along the contraction axis, `quantization/src/types.rs:112-132`).
 
-        With kernel_layout (default), 2-D quantized weights are repacked once
-        into the Pallas fused-matmul layout (`ops.pallas_matmul.prepare`)."""
+        method="int" packs 1/2/4/8-bit integers; method="fp8" stores
+        float8_e4m3 with a per-tensor scale (the reference's
+        `QuantizationType::Float8`, `quantization/src/quantize.rs:66`).
+        With kernel_layout (default), 2-D int-quantized weights are repacked
+        once into the Pallas fused-matmul layout (`ops.pallas_matmul.prepare`).
+        """
         from diffusion_llm_rs_tpu.ops import pallas_matmul
-        from diffusion_llm_rs_tpu.quant.core import QuantizedTensor
+        from diffusion_llm_rs_tpu.quant.core import QuantizedTensor, quantize_fp8
+
+        if method == "fp8":
+            def _f8(path, leaf):
+                path_str = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+                if "pos_embed" in path_str:  # sliced per-sequence; stays fp
+                    return leaf
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                        and hasattr(leaf, "size") and leaf.size >= 1024
+                        and jnp.issubdtype(leaf.dtype, jnp.floating)):
+                    return quantize_fp8(leaf)
+                return leaf
+            self.params = jax.tree_util.tree_map_with_path(_f8, self.params)
+            self._weight_bits = 8
+            return
 
         self.params = quantize_tree(
             self.params, bits,
@@ -121,6 +142,39 @@ class Engine:
                 _prep, self.params,
                 is_leaf=lambda l: isinstance(l, QuantizedTensor))
         self._weight_bits = bits
+
+    # ------------------------------------------------------------------
+    # tokenization + attention-mask cache (`diffuse-llm-rs/src/lib.rs:1224-1256`)
+    # ------------------------------------------------------------------
+
+    def tokenize_model(self, text: str, model_id: str = "model"):
+        """Tokenize into TokenizedVectors with real embeddings (the reference
+        builds zero embeddings, `lib.rs:1234`)."""
+        from diffusion_llm_rs_tpu.models.types import TokenizedVector
+        token_ids = self.tokenizer.encode(text)
+        embeddings = np.asarray(dn.embed_tokens(
+            self.params, jnp.asarray([token_ids]))[0])
+        return [TokenizedVector(id=model_id, tokens=token_ids,
+                                embeddings=embeddings)]
+
+    def set_attention_mask(self, vector_id: str, mask: np.ndarray) -> None:
+        """Cache an attention mask (`DiffuseLLM.attention_masks`, lib.rs:332)."""
+        self._attention_masks[vector_id] = np.asarray(mask, np.float32)
+
+    def apply_attention_masks(self, tokens, offsets) -> None:
+        """Apply cached masks to TokenizedVectors (`lib.rs:1247-1256`)."""
+        for tv, offset in zip(tokens, offsets):
+            mask = self._attention_masks.get(tv.id)
+            if mask is not None:
+                tv.apply_mask(mask, offset)
+
+    def clear_kv_cache(self) -> None:
+        """`lib.rs:1076-1079`."""
+        self.kv_cache.clear()
+
+    def kv_cache_memory_usage(self) -> int:
+        """`lib.rs:1082-1084`."""
+        return self.kv_cache.memory_usage()
 
     # ------------------------------------------------------------------
     # process_model (`lib.rs:66-86`; SURVEY.md §3.1)

@@ -101,9 +101,9 @@ def init_denoiser_params(key: jax.Array, cfg: DiffusionConfig) -> Params:
         params["blocks"].append({
             "ln1": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
             "attn": {
-                "wq": _init_linear(bk[0], D, D),
-                "wk": _init_linear(bk[1], D, D),
-                "wv": _init_linear(bk[2], D, D),
+                # fused QKV: one [D, 3D] matmul per block instead of three —
+                # fewer kernel launches, larger MXU tiles
+                "wqkv": _init_linear(bk[0], D, 3 * D),
                 "wo": _init_linear(bk[3], D, D, scale=out_scale),
             },
             "ln2": {"scale": jnp.ones((D,)), "bias": jnp.zeros((D,))},
@@ -176,8 +176,8 @@ def denoiser_forward(
 
     temb = timestep_embedding(t, D)
     tm = params["time_mlp"]
-    temb = linear(jax.nn.gelu(linear(temb.astype(dtype), tm["w1"], tm["b1"])),
-                  tm["w2"], tm["b2"])
+    temb = linear(linear(temb.astype(dtype), tm["w1"], tm["b1"],
+                         activation="gelu"), tm["w2"], tm["b2"])
     h = x + params["pos_embed"][:S].astype(dtype)[None] + temb[:, None, :]
 
     mask = None
@@ -188,9 +188,10 @@ def denoiser_forward(
     for li, blk in enumerate(params["blocks"]):
         hn = layer_norm(h, blk["ln1"])
         a = blk["attn"]
-        q = _split_heads(linear(hn, a["wq"]), H)
-        k = _split_heads(linear(hn, a["wk"]), H)
-        v = _split_heads(linear(hn, a["wv"]), H)
+        qkv = linear(hn, a["wqkv"])  # [B, S, 3D]
+        q = _split_heads(qkv[..., :D], H)
+        k = _split_heads(qkv[..., D:2 * D], H)
+        v = _split_heads(qkv[..., 2 * D:], H)
         if return_kv:
             new_ks.append(k)
             new_vs.append(v)
@@ -211,7 +212,7 @@ def denoiser_forward(
 
         hn = layer_norm(h, blk["ln2"])
         m = blk["mlp"]
-        h = h + linear(jax.nn.gelu(linear(hn, m["w1"], m["b1"])),
+        h = h + linear(linear(hn, m["w1"], m["b1"], activation="gelu"),
                        m["w2"], m["b2"])
 
     h = layer_norm(h, params["ln_f"])

@@ -78,17 +78,23 @@ def linear(
     b: Optional[jax.Array] = None,
     *,
     preferred_dtype=None,
+    activation: Optional[str] = None,
 ) -> jax.Array:
-    """Dense layer y = x @ w + b with quantization-aware dispatch."""
+    """Dense layer y = act(x @ w + b) with quantization-aware dispatch.
+
+    `activation` ("gelu" or None) fuses into the Pallas kernel epilogue for
+    packed weights; other paths apply it after (XLA fuses it there).
+    """
     out_dtype = preferred_dtype or x.dtype
     # MatmulWeight: kernel-ready packed layout -> Pallas fused dequant+matmul
     from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
     if isinstance(w, MatmulWeight):
         from diffusion_llm_rs_tpu.ops import pallas_matmul
-        # kernel accumulates f32 on the MXU and writes out_dtype directly —
-        # no post-hoc cast pass over the activations
-        y = pallas_matmul.matmul(x, w, out_dtype=out_dtype)
-    elif isinstance(w, QuantizedTensor):
+        # kernel accumulates f32 on the MXU and writes out_dtype directly;
+        # bias + activation run in the kernel epilogue
+        return pallas_matmul.matmul(x, w, out_dtype=out_dtype, bias=b,
+                                    activation=activation)
+    if isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, preferred_dtype=jnp.float32).astype(out_dtype)
     elif isinstance(w, Fp8Tensor):
         y = jnp.dot(x, w.data.astype(x.dtype),
@@ -99,4 +105,8 @@ def linear(
                     preferred_element_type=jnp.float32).astype(out_dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
     return y

@@ -127,12 +127,11 @@ def prepare(qt: QuantizedTensor) -> MatmulWeight:
                         K=K, N=N, group_size=G)
 
 
-def _kernel(x_ref, w_ref, scale_ref, zp_ref, out_ref, w_bf, *,
-            bits: int, K: int, seg: int, n_scale_rows: int):
-    """One (TM, TN) output tile; full K resident in VMEM.
+def _dequant_column(w_ref, scale_ref, zp_ref, w_bf, *,
+                    bits: int, K: int, seg: int, n_scale_rows: int):
+    """Unpack+dequantize one packed weight column into the bf16 scratch.
 
-    Grid is (N/TN, M/TM) with the N-column OUTER, so the unpack+dequant of the
-    weight column into the bf16 VMEM scratch `w_bf` runs once per column
+    Grid is (N/TN, M/TM) with the N-column OUTER, so this runs once per column
     (i == 0) and is reused by every M-tile — at steady state the MXU sees one
     full-width bf16 matmul per tile, and the only extra HBM traffic vs a bf16
     matmul is the (bits/16)x smaller packed weight read.
@@ -157,22 +156,50 @@ def _kernel(x_ref, w_ref, scale_ref, zp_ref, out_ref, w_bf, *,
                 w_bf[s * Kp + k0: s * Kp + k0 + seg, :] = (
                     (lv[k0:k0 + seg, :] - zp) * sc).astype(jnp.bfloat16)
 
-    out_ref[:] = jnp.dot(x_ref[:], w_bf[:],
-                         preferred_element_type=jnp.float32
-                         ).astype(out_ref.dtype)
+
+def _kernel(x_ref, w_ref, scale_ref, zp_ref, out_ref, w_bf, *,
+            bits: int, K: int, seg: int, n_scale_rows: int,
+            activation: Optional[str] = None):
+    """One (TM, TN) output tile; full K resident in VMEM."""
+    _dequant_column(w_ref, scale_ref, zp_ref, w_bf,
+                    bits=bits, K=K, seg=seg, n_scale_rows=n_scale_rows)
+    y = jnp.dot(x_ref[:], w_bf[:], preferred_element_type=jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _kernel_bias(x_ref, w_ref, scale_ref, zp_ref, b_ref, out_ref, w_bf, *,
+                 bits: int, K: int, seg: int, n_scale_rows: int,
+                 activation: Optional[str] = None):
+    """_kernel + fused bias row (and optional activation) in the epilogue —
+    saves the full-activation HBM round trip a separate bias/act pass costs."""
+    _dequant_column(w_ref, scale_ref, zp_ref, w_bf,
+                    bits=bits, K=K, seg=seg, n_scale_rows=n_scale_rows)
+    y = jnp.dot(x_ref[:], w_bf[:], preferred_element_type=jnp.float32)
+    y = y + b_ref[0:1, :].astype(jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _pick_tile(M: int, N: int) -> Optional[Tuple[int, int]]:
     tm = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
-    tn = next((t for t in (512, 256, 128) if N % t == 0), None)
+    tn = next((t for t in (512, 384, 256, 128) if N % t == 0), None)
     if tm is None or tn is None:
         return None
     return tm, tn
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
-def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32) -> jax.Array:
-    """x [..., K] @ W -> [..., N] with in-kernel dequantization."""
+@functools.partial(jax.jit, static_argnames=("out_dtype", "activation"))
+def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
+           bias: Optional[jax.Array] = None,
+           activation: Optional[str] = None) -> jax.Array:
+    """x [..., K] @ W (+bias, +activation) -> [..., N], dequant in-kernel.
+
+    bias [N] and activation ("gelu") fuse into the kernel epilogue, avoiding a
+    separate elementwise pass over the full activation tensor.
+    """
     lead = x.shape[:-1]
     K = x.shape[-1]
     if K != w.K:
@@ -187,26 +214,26 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32) -> jax.Array:
         # shape not kernel-friendly: fused XLA fallback
         out = jnp.dot(x2.astype(jnp.bfloat16), w.dequantize(jnp.bfloat16),
                       preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        if activation == "gelu":
+            out = jax.nn.gelu(out)
         return out.reshape(*lead, w.N).astype(out_dtype)
     TM, TN = tiles
     n_scale_rows = w.scale.shape[0]
-
-    kernel = functools.partial(_kernel, bits=w.bits, K=K, seg=seg,
-                               n_scale_rows=n_scale_rows)
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        kernel,
+    common = dict(bits=w.bits, K=K, seg=seg, n_scale_rows=n_scale_rows,
+                  activation=activation)
+    w_specs = [
+        pl.BlockSpec((TM, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Kp, TN), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    call = dict(
         grid=(w.N // TN, M // TM),   # N-column outer: scratch reused over M
-        in_specs=[
-            pl.BlockSpec((TM, K), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, TN), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_scale_rows, TN), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((TM, TN), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, w.N), out_dtype),
@@ -214,10 +241,23 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32) -> jax.Array:
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * w.N,
             bytes_accessed=M * K * 2 + Kp * w.N + M * w.N * 4,
-            transcendentals=0,
+            transcendentals=M * w.N if activation else 0,
         ),
         interpret=interpret,
-    )(x2.astype(jnp.bfloat16), w.data, w.scale, w.zero_point)
+    )
+    if bias is None:
+        out = pl.pallas_call(
+            functools.partial(_kernel, **common),
+            in_specs=w_specs, **call,
+        )(x2.astype(jnp.bfloat16), w.data, w.scale, w.zero_point)
+    else:
+        bias2 = bias.reshape(1, w.N).astype(jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(_kernel_bias, **common),
+            in_specs=w_specs + [pl.BlockSpec((1, TN), lambda j, i: (0, j),
+                                             memory_space=pltpu.VMEM)],
+            **call,
+        )(x2.astype(jnp.bfloat16), w.data, w.scale, w.zero_point, bias2)
     return out.reshape(*lead, w.N)
 
 

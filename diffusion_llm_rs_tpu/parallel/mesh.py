@@ -87,6 +87,7 @@ def _largest_pow2_divisor(n: int) -> int:
 _RULES = [
     (r"tok_embed$", P("model", None)),          # vocab-sharded embedding
     (r"pos_embed$", P(None, None)),
+    (r"attn/wqkv$", P(None, "model")),          # column parallel (fused QKV)
     (r"attn/w[qkv]$", P(None, "model")),        # column parallel
     (r"attn/wo$", P("model", None)),            # row parallel
     (r"mlp/w1$", P(None, "model")),
@@ -186,6 +187,32 @@ def make_sharded_infer_step(cfg: DiffusionConfig, mesh: Mesh):
         return eps
 
     return infer_step
+
+
+def make_sharded_sample_step(cfg: DiffusionConfig, mesh: Mesh, schedule):
+    """Sharded reverse-diffusion sampling: batch over 'data', TP over 'model'.
+
+    Uses the XLA attention path (GSPMD partitions it automatically); the
+    Pallas kernels are single-chip ops — under a mesh they'd need shard_map,
+    which is the round-2 fast path.
+    """
+    from diffusion_llm_rs_tpu.models.diffusion import sample as _sample
+
+    def run(params, key, batch: int, seq_len: int, num_steps: int):
+        def model_fn(x, t):
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P("data", None, None)))
+            return dn.denoiser_forward(params, cfg, x, t)
+
+        with mesh:
+            out = jax.jit(
+                lambda k: _sample(model_fn, schedule,
+                                  (batch, seq_len, cfg.hidden_size), k,
+                                  num_steps=num_steps),
+                out_shardings=NamedSharding(mesh, P("data", None, None)))(key)
+        return out
+
+    return run
 
 
 def make_sharded_train_step(cfg: DiffusionConfig, mesh: Mesh,

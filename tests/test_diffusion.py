@@ -88,11 +88,14 @@ def test_sample_recovers_1d_gaussian():
     sched = dm.DiffusionSchedule.create(200)
 
     def optimal_eps(x, t):
-        # E[eps | x_t] for gaussian data: closed form
+        # E[eps | x_t] for gaussian data via the posterior mean of x0:
+        # x_t ~ N(sqrt(a)mu, a s^2 + (1-a));
+        # E[x0|x_t] = mu + sqrt(a)s^2/(a s^2 + 1-a) (x_t - sqrt(a)mu)
         abar = sched.alpha_bars[t][:, None]
-        num = x - jnp.sqrt(abar) * mu
-        denom = jnp.sqrt(1 - abar) * (1 + abar * (sigma ** 2 - 1) / (1 - abar))
-        return num / jnp.maximum(denom, 1e-8) * 1.0
+        s2 = sigma ** 2
+        gain = jnp.sqrt(abar) * s2 / (abar * s2 + 1 - abar)
+        e_x0 = mu + gain * (x - jnp.sqrt(abar) * mu)
+        return (x - jnp.sqrt(abar) * e_x0) / jnp.sqrt(1 - abar)
 
     out = dm.sample(optimal_eps, sched, (256, 1), jax.random.PRNGKey(7))
     m = float(jnp.mean(out))

@@ -104,3 +104,32 @@ def test_contraction_mismatch_raises():
     mw = pmm.prepare(qt)
     with pytest.raises(ValueError):
         pmm.matmul(jnp.ones((4, 128)), mw)
+
+
+def test_fused_bias_gelu_epilogue():
+    w, qt = _mk(K=256, N=128, bits=4)
+    mw = pmm.prepare(qt)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 256)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    out = pmm.matmul(x, mw, bias=b, activation="gelu")
+    ref = jax.nn.gelu(
+        jnp.dot(x.astype(jnp.bfloat16), mw.dequantize(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+    # via linear() dispatch
+    y = linear(x, mw, b, activation="gelu")
+    rel2 = float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref))
+    assert rel2 < 2e-2
+
+
+def test_fused_bias_fallback_shapes():
+    w, qt = _mk(K=256, N=128, bits=4)
+    mw = pmm.prepare(qt)
+    x = jnp.ones((3, 256))  # odd M -> XLA fallback path
+    b = jnp.ones((128,))
+    out = pmm.matmul(x, mw, bias=b, activation="gelu")
+    ref = jax.nn.gelu(x @ mw.dequantize() + b)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 5e-2

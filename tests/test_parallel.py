@@ -28,7 +28,7 @@ def test_make_mesh_shape(mesh8):
 
 
 def test_spec_rules():
-    assert pm.spec_for_path("blocks/0/attn/wq") == P(None, "model")
+    assert pm.spec_for_path("blocks/0/attn/wqkv") == P(None, "model")
     assert pm.spec_for_path("blocks/3/attn/wo") == P("model", None)
     assert pm.spec_for_path("blocks/1/mlp/w1") == P(None, "model")
     assert pm.spec_for_path("tok_embed") == P("model", None)
@@ -39,10 +39,10 @@ def test_shard_params_placement(mesh8):
     cfg = DiffusionConfig.tiny(hidden_size=64, num_attention_heads=4)
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
     sharded = pm.shard_params(params, mesh8)
-    wq = sharded["blocks"][0]["attn"]["wq"]
+    wqkv = sharded["blocks"][0]["attn"]["wqkv"]
     # column-parallel: N axis split over 4 model shards
-    shard_shape = wq.sharding.shard_shape(wq.shape)
-    assert shard_shape == (64, 16)
+    shard_shape = wqkv.sharding.shard_shape(wqkv.shape)
+    assert shard_shape == (64, 192 // 4)
     wo = sharded["blocks"][0]["attn"]["wo"]
     assert wo.sharding.shard_shape(wo.shape) == (16, 64)
     # layernorm replicated
