@@ -23,6 +23,8 @@
 #include <sys/types.h>
 #include <unistd.h>
 #include <vector>
+#include <algorithm>
+#include <utility>
 
 extern "C" {
 
@@ -199,6 +201,97 @@ int dlm_pool_destroy(int pool) {
   free(g_pools[pool]->base);
   delete g_pools[pool];
   g_pools[pool] = nullptr;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BPE encoder (tokenizer hot loop; Python keeps pretokenization/IO)
+// ---------------------------------------------------------------------------
+
+struct BpeModel {
+  // rank and merged id by packed pair key (a << 32 | b)
+  std::vector<std::pair<uint64_t, uint32_t>> sorted_pairs;  // key -> rank
+  uint32_t n_merges = 0;
+
+  int64_t rank_of(uint32_t a, uint32_t b) const {
+    uint64_t key = ((uint64_t)a << 32) | b;
+    auto it = std::lower_bound(
+        sorted_pairs.begin(), sorted_pairs.end(), key,
+        [](const std::pair<uint64_t, uint32_t>& p, uint64_t k) {
+          return p.first < k;
+        });
+    if (it == sorted_pairs.end() || it->first != key) return -1;
+    return (int64_t)it->second;
+  }
+};
+
+static const uint64_t kMaxBpe = 64;
+static BpeModel* g_bpe[kMaxBpe] = {nullptr};
+static std::mutex g_bpe_mu;
+
+// merges given as arrays a[i], b[i]; merged token id = 256 + i.
+int dlm_bpe_new(const uint32_t* a, const uint32_t* b, uint64_t n) {
+  std::lock_guard<std::mutex> lock(g_bpe_mu);
+  for (uint64_t h = 0; h < kMaxBpe; ++h) {
+    if (g_bpe[h] == nullptr) {
+      BpeModel* m = new BpeModel();
+      m->n_merges = (uint32_t)n;
+      m->sorted_pairs.reserve(n);
+      for (uint64_t i = 0; i < n; ++i) {
+        m->sorted_pairs.emplace_back(((uint64_t)a[i] << 32) | b[i],
+                                     (uint32_t)i);
+      }
+      std::sort(m->sorted_pairs.begin(), m->sorted_pairs.end());
+      g_bpe[h] = m;
+      return (int)h;
+    }
+  }
+  return -1;
+}
+
+// Greedy lowest-rank merge loop over one pretoken's bytes.
+// Returns the number of output ids (<= len), or -1 on bad handle.
+int64_t dlm_bpe_encode_word(int handle, const uint8_t* word, uint64_t len,
+                            uint32_t* out) {
+  if (handle < 0 || (uint64_t)handle >= kMaxBpe || !g_bpe[handle]) return -1;
+  const BpeModel* m = g_bpe[handle];
+  std::vector<uint32_t> ids(word, word + len);
+  while (ids.size() >= 2) {
+    int64_t best_rank = -1;
+    size_t best_pos = 0;
+    for (size_t i = 0; i + 1 < ids.size(); ++i) {
+      int64_t r = m->rank_of(ids[i], ids[i + 1]);
+      if (r >= 0 && (best_rank < 0 || r < best_rank)) {
+        best_rank = r;
+        best_pos = i;
+      }
+    }
+    if (best_rank < 0) break;
+    uint32_t pa = ids[best_pos], pb = ids[best_pos + 1];
+    uint32_t merged = 256 + (uint32_t)best_rank;
+    // merge every occurrence of this pair in one sweep
+    std::vector<uint32_t> next;
+    next.reserve(ids.size());
+    for (size_t i = 0; i < ids.size();) {
+      if (i + 1 < ids.size() && ids[i] == pa && ids[i + 1] == pb) {
+        next.push_back(merged);
+        i += 2;
+      } else {
+        next.push_back(ids[i]);
+        i += 1;
+      }
+    }
+    ids.swap(next);
+  }
+  for (size_t i = 0; i < ids.size(); ++i) out[i] = ids[i];
+  return (int64_t)ids.size();
+}
+
+int dlm_bpe_free(int handle) {
+  std::lock_guard<std::mutex> lock(g_bpe_mu);
+  if (handle < 0 || (uint64_t)handle >= kMaxBpe || !g_bpe[handle]) return -1;
+  delete g_bpe[handle];
+  g_bpe[handle] = nullptr;
   return 0;
 }
 

@@ -75,6 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dlm_pool_num_free.argtypes = [ctypes.c_int]
         lib.dlm_pool_destroy.restype = ctypes.c_int
         lib.dlm_pool_destroy.argtypes = [ctypes.c_int]
+        lib.dlm_bpe_new.restype = ctypes.c_int
+        lib.dlm_bpe_new.argtypes = [ctypes.POINTER(ctypes.c_uint32),
+                                    ctypes.POINTER(ctypes.c_uint32),
+                                    ctypes.c_uint64]
+        lib.dlm_bpe_encode_word.restype = ctypes.c_int64
+        lib.dlm_bpe_encode_word.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint32)]
+        lib.dlm_bpe_free.restype = ctypes.c_int
+        lib.dlm_bpe_free.argtypes = [ctypes.c_int]
         _lib = lib
         NATIVE_AVAILABLE = True
         return _lib
@@ -165,6 +175,47 @@ def close_store(handle) -> None:
         _load().dlm_close(h)
     else:
         h.f.close()
+
+
+# ---------------------------------------------------------------------------
+# Native BPE encoder (tokenizer hot loop)
+# ---------------------------------------------------------------------------
+
+
+class BpeEncoder:
+    """Greedy BPE merge loop in C++; returns None handle when unavailable."""
+
+    def __init__(self, merges):
+        lib = _load()
+        self._handle = -1
+        if lib is None or not merges:
+            return
+        n = len(merges)
+        a = (ctypes.c_uint32 * n)(*[m[0] for m in merges])
+        b = (ctypes.c_uint32 * n)(*[m[1] for m in merges])
+        self._handle = lib.dlm_bpe_new(a, b, n)
+
+    @property
+    def available(self) -> bool:
+        return self._handle >= 0
+
+    def encode_word(self, word: bytes):
+        out = (ctypes.c_uint32 * max(len(word), 1))()
+        n = _load().dlm_bpe_encode_word(self._handle, word, len(word), out)
+        if n < 0:
+            raise RuntimeError("bpe encode failed")
+        return list(out[:n])
+
+    def close(self) -> None:
+        if self._handle >= 0:
+            _load().dlm_bpe_free(self._handle)
+            self._handle = -1
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,9 @@ class BPETokenizer:
                  special_tokens: Sequence[str] = DEFAULT_SPECIAL_TOKENS):
         self.merges: List[Tuple[int, int]] = [tuple(m) for m in merges]
         self.special_tokens: List[str] = list(special_tokens)
+        # native C++ merge loop (csrc/dlm_runtime.cpp); Python fallback below
+        from diffusion_llm_rs_tpu.storage.native import BpeEncoder
+        self._native = BpeEncoder(self.merges)
         self._merge_ranks: Dict[Tuple[int, int], int] = {
             tuple(m): i for i, m in enumerate(self.merges)}
         self._merge_ids: Dict[Tuple[int, int], int] = {
@@ -82,6 +85,8 @@ class BPETokenizer:
         ids = list(word_bytes)
         if len(ids) < 2:
             return ids
+        if self._native.available:
+            return self._native.encode_word(word_bytes)
         while True:
             best_rank, best_pos = None, -1
             for i in range(len(ids) - 1):
