@@ -144,14 +144,16 @@ def _dequant_column(w_ref, scale_ref, zp_ref, w_bf, *,
     @pl.when(i == 0)
     def _():
         # Mosaic legalizes neither 8-bit vector shifts (arith.shrui on i8)
-        # nor direct uint8->bf16 casts: widen to int32, shift/mask, then f32.
+        # nor direct uint8->bf16 casts: widen to int32 for shift/mask, then
+        # convert straight to bf16 (levels <= 255 are exact in bf16) and do
+        # the affine in bf16 — minimal VPU traffic.
         w32 = w_ref[:].astype(jnp.int32)
         for s in range(vpb):
             lv = ((w32 >> (s * bits)) & mask).astype(jnp.float32)  # [Kp, TN]
             for g in range(Kp // seg):
                 k0 = g * seg
                 grow = (s * Kp + k0) // (K // n_scale_rows)
-                sc = scale_ref[grow:grow + 1, :]   # [1, TN]
+                sc = scale_ref[grow:grow + 1, :]
                 zp = zp_ref[grow:grow + 1, :]
                 w_bf[s * Kp + k0: s * Kp + k0 + seg, :] = (
                     (lv[k0:k0 + seg, :] - zp) * sc).astype(jnp.bfloat16)
@@ -164,6 +166,44 @@ def _kernel(x_ref, w_ref, scale_ref, zp_ref, out_ref, w_bf, *,
     _dequant_column(w_ref, scale_ref, zp_ref, w_bf,
                     bits=bits, K=K, seg=seg, n_scale_rows=n_scale_rows)
     y = jnp.dot(x_ref[:], w_bf[:], preferred_element_type=jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _kernel_full(x_ref, w_ref, scale_ref, zp_ref, *args, bits: int, K: int,
+                 seg: int, n_scale_rows: int,
+                 activation: Optional[str] = None, has_bias: bool = False):
+    """Full-width variant: grid=(M/TM,) — the WHOLE dequantized weight sits in
+    the VMEM scratch, filled once on the first M-tile, so dequant runs exactly
+    once per matmul and x streams through. Used when K*N*2B fits the VMEM
+    budget; the (j,i) column variant handles bigger weights."""
+    if has_bias:
+        b_ref, out_ref, w_bf = args
+    else:
+        out_ref, w_bf = args
+        b_ref = None
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        vpb = 8 // bits
+        Kp = K // vpb
+        mask = (1 << bits) - 1
+        w32 = w_ref[:].astype(jnp.int32)
+        for s in range(vpb):
+            lv = ((w32 >> (s * bits)) & mask).astype(jnp.float32)  # [Kp, TN]
+            for g in range(Kp // seg):
+                k0 = g * seg
+                grow = (s * Kp + k0) // (K // n_scale_rows)
+                sc = scale_ref[grow:grow + 1, :]
+                zp = zp_ref[grow:grow + 1, :]
+                w_bf[s * Kp + k0: s * Kp + k0 + seg, :] = (
+                    (lv[k0:k0 + seg, :] - zp) * sc).astype(jnp.bfloat16)
+
+    y = jnp.dot(x_ref[:], w_bf[:], preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        y = y + b_ref[0:1, :].astype(jnp.float32)
     if activation == "gelu":
         y = jax.nn.gelu(y)
     out_ref[:] = y.astype(out_ref.dtype)
@@ -224,6 +264,40 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
     interpret = jax.default_backend() != "tpu"
     common = dict(bits=w.bits, K=K, seg=seg, n_scale_rows=n_scale_rows,
                   activation=activation)
+
+    # Full-width mode: whole dequantized weight in VMEM, dequant once.
+    VMEM_W_BUDGET = 6 * 1024 * 1024
+    if K * w.N * 2 <= VMEM_W_BUDGET:
+        specs = [
+            pl.BlockSpec((TM, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kp, w.N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_scale_rows, w.N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_scale_rows, w.N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = [x2.astype(jnp.bfloat16), w.data, w.scale, w.zero_point]
+        if bias is not None:
+            specs.append(pl.BlockSpec((1, w.N), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM))
+            inputs.append(bias.reshape(1, w.N).astype(jnp.float32))
+        out = pl.pallas_call(
+            functools.partial(_kernel_full, has_bias=bias is not None,
+                              **common),
+            grid=(M // TM,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((TM, w.N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, w.N), out_dtype),
+            scratch_shapes=[pltpu.VMEM((K, w.N), jnp.bfloat16)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * K * w.N,
+                bytes_accessed=M * K * 2 + Kp * w.N + M * w.N * 4,
+                transcendentals=M * w.N if activation else 0,
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return out.reshape(*lead, w.N)
     w_specs = [
         pl.BlockSpec((TM, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Kp, TN), lambda j, i: (0, j), memory_space=pltpu.VMEM),

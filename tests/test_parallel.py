@@ -98,3 +98,18 @@ def test_sharded_train_step_reduces_loss(mesh8):
             p, loss = train(p, x0, t, noise)
             losses.append(float(loss))
     assert losses[-1] < losses[0]  # SGD on a fixed batch must descend
+
+
+def test_sharded_sample_step(mesh8):
+    from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule
+    cfg = DiffusionConfig.tiny(hidden_size=64, num_attention_heads=4,
+                               num_timesteps=10)
+    schedule = DiffusionSchedule.create(10)
+    params = pm.shard_params(
+        dn.init_denoiser_params(jax.random.PRNGKey(0), cfg), mesh8)
+    sampler = pm.make_sharded_sample_step(cfg, mesh8, schedule)
+    out = sampler(params, jax.random.PRNGKey(1), batch=4, seq_len=8,
+                  num_steps=3)
+    assert out.shape == (4, 8, 64)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert out.sharding.shard_shape(out.shape)[0] == 2  # data-sharded
