@@ -219,7 +219,7 @@ def make_tp_forward(cfg: DiffusionConfig, mesh: Mesh,
             mesh=mesh,
             in_specs=(specs, P(), P()),
             out_specs=P(),
-            check_rep=False)
+            check_vma=False)
         return jax.jit(f)(stacked_params, x, t)
 
     return run
