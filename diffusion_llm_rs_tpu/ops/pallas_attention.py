@@ -124,8 +124,8 @@ def _attn_kernel(q_ref, k_ref, ks_ref, kz_ref, v_ref, vs_ref, vz_ref,
     def body(j, carry):
         m, l, acc = carry
         k_lv = unpack(k_ref, j)                        # [TK, D]
-        ks = ks_ref[0:1, pl.ds(j * TK, TK)]            # [1, TK]
-        kz = kz_ref[0:1, pl.ds(j * TK, TK)]
+        ks = ks_ref[0, 0:1, pl.ds(j * TK, TK)]         # [1, TK]
+        kz = kz_ref[0, 0:1, pl.ds(j * TK, TK)]
         raw = jax.lax.dot_general(
             q, k_lv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # [TQ, TK]
@@ -137,8 +137,8 @@ def _attn_kernel(q_ref, k_ref, ks_ref, kz_ref, v_ref, vs_ref, vz_ref,
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
 
         v_lv = unpack(v_ref, j)                        # [TK, D]
-        vs = vs_ref[0:1, pl.ds(j * TK, TK)]
-        vz = vz_ref[0:1, pl.ds(j * TK, TK)]
+        vs = vs_ref[0, 0:1, pl.ds(j * TK, TK)]
+        vz = vz_ref[0, 0:1, pl.ds(j * TK, TK)]
         ps = (p * vs).astype(jnp.bfloat16)             # fold V scale into P
         pv = jax.lax.dot_general(
             ps, v_lv, (((1,), (0,)), ((), ())),
@@ -171,6 +171,10 @@ def attention(q: jax.Array, k: QuantKV, v: QuantKV,
                                sm_scale=sm_scale)
     Dp = D // (8 // k.bits)
     interpret = jax.default_backend() != "tpu"
+    # sidecars as [BH, 1, S]: TPU block shapes need the last-two dims either
+    # tile-aligned or equal to the array dims
+    side = pl.BlockSpec((1, 1, Skv), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(BH, Sq // TQ),
@@ -179,16 +183,10 @@ def attention(q: jax.Array, k: QuantKV, v: QuantKV,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Skv, Dp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
+            side, side,
             pl.BlockSpec((1, Skv, Dp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv), lambda b, i: (b, 0),
-                         memory_space=pltpu.VMEM),
+            side, side,
         ],
         out_specs=pl.BlockSpec((1, TQ, D), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -199,8 +197,9 @@ def attention(q: jax.Array, k: QuantKV, v: QuantKV,
             transcendentals=BH * Sq * Skv,
         ),
         interpret=interpret,
-    )(q.astype(jnp.bfloat16), k.data, k.scale, k.zero_point,
-      v.data, v.scale, v.zero_point)
+    )(q.astype(jnp.bfloat16), k.data, k.scale[:, None, :],
+      k.zero_point[:, None, :], v.data, v.scale[:, None, :],
+      v.zero_point[:, None, :])
 
 
 def _attention_fallback(q, k: QuantKV, v: QuantKV, sm_scale: float):
