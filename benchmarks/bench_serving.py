@@ -1,0 +1,75 @@
+"""Serving benchmark: continuous-batching throughput & latency.
+
+Measures the ContinuousBatcher (BASELINE config 5's single-host core): N
+requests with mixed step counts over a fixed slot pool, reporting generated
+tokens/s, mean latency, and slot utilization.
+
+Run: python benchmarks/bench_serving.py          (TPU)
+     JAX_PLATFORMS=cpu python benchmarks/bench_serving.py   (CPU check)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffusion_llm_rs_tpu.utils.platform import honor_platform_env
+
+honor_platform_env()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DLM_TPU_CACHE", "/tmp/dlm_tpu_jax_cache"))
+
+from diffusion_llm_rs_tpu.config import DiffusionConfig
+from diffusion_llm_rs_tpu.models import denoiser as dn
+from diffusion_llm_rs_tpu.serving import ContinuousBatcher, Request
+
+SLOTS = int(os.environ.get("SERVE_SLOTS", 8))
+SEQ = int(os.environ.get("SERVE_SEQ", 128))
+REQUESTS = int(os.environ.get("SERVE_REQUESTS", 32))
+HIDDEN = int(os.environ.get("SERVE_HIDDEN", 768))
+LAYERS = int(os.environ.get("SERVE_LAYERS", 12))
+
+
+def main():
+    cfg = DiffusionConfig(num_timesteps=1000, hidden_size=HIDDEN,
+                          num_layers=LAYERS,
+                          num_attention_heads=max(HIDDEN // 64, 1),
+                          vocab_size=50257, max_sequence_length=SEQ)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    b = ContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ)
+
+    # warm up the jitted step
+    b.submit(Request("warm", seq_len=SEQ, num_steps=2))
+    b.run_until_drained()
+
+    for i in range(REQUESTS):
+        steps = (8, 16, 24, 32)[i % 4]
+        b.submit(Request(f"r{i}", seq_len=SEQ, num_steps=steps))
+    t0 = time.perf_counter()
+    done = b.run_until_drained()
+    dt = time.perf_counter() - t0
+
+    total_tokens = sum(c.tokens.size for c in done)
+    total_steps = sum(c.steps for c in done)
+    lat = [c.latency_s for c in done]
+    print(json.dumps({
+        "metric": "continuous batching throughput",
+        "value": round(total_tokens / dt, 1),
+        "unit": "gen tokens/s",
+        "requests": len(done),
+        "slots": SLOTS,
+        "mean_latency_s": round(sum(lat) / len(lat), 3),
+        "p95_latency_s": round(sorted(lat)[int(0.95 * len(lat)) - 1], 3),
+        "total_request_steps": total_steps,
+        "wall_s": round(dt, 2),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
