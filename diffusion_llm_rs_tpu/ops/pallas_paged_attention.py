@@ -1,0 +1,221 @@
+"""Pallas TPU kernel: flash attention over PAGED quantized KV pools.
+
+Completes the paged-cache design (SURVEY.md §7 "attention kernel must stream
+pages"): K/V pages live packed in HBM pools (`cache/paged.py` layout), a
+per-sequence page table names the slots, and the kernel gathers pages by
+table lookup with double-buffered async DMA — no host-side gather, no fp
+materialization of the cache.
+
+Layout (matches `cache/paged.py` pools):
+  - k_data/v_data: uint8 [n_slots, BH, P, D/vpb]   (block-packed along D)
+  - k_scale/k_zp/v_scale/v_zp: f32 [n_slots, BH, P]  (per-token sidecars)
+  - page_table: int32 [n_pages]  (slot per logical page, scalar-prefetched)
+
+Per (bh, q-tile) grid cell the kernel walks the page list: DMA page j+1's six
+buffers into the alternate VMEM slot while computing online-softmax flash
+attention over page j (same folded-affine math as `pallas_attention`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
+            q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
+            out_ref,
+            kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
+            *, bits: int, D: int, P: int, n_pages: int, sm_scale: float):
+    vpb = 8 // bits
+    Dp = D // vpb
+    mask = (1 << bits) - 1
+    bh = pl.program_id(0)
+    q = q_ref[0]                       # [TQ, D] bf16
+    TQ = q.shape[0]
+    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+
+    def start_dma(j, slot_buf):
+        slot = pt_ref[j]
+        copies = [
+            pltpu.make_async_copy(kd_ref.at[slot, bh], kbuf.at[slot_buf],
+                                  sems.at[slot_buf, 0]),
+            pltpu.make_async_copy(ks_ref.at[slot, bh], ksbuf.at[slot_buf],
+                                  sems.at[slot_buf, 1]),
+            pltpu.make_async_copy(kz_ref.at[slot, bh], kzbuf.at[slot_buf],
+                                  sems.at[slot_buf, 2]),
+            pltpu.make_async_copy(vd_ref.at[slot, bh], vbuf.at[slot_buf],
+                                  sems.at[slot_buf, 3]),
+            pltpu.make_async_copy(vs_ref.at[slot, bh], vsbuf.at[slot_buf],
+                                  sems.at[slot_buf, 4]),
+            pltpu.make_async_copy(vz_ref.at[slot, bh], vzbuf.at[slot_buf],
+                                  sems.at[slot_buf, 5]),
+        ]
+        for c in copies:
+            c.start()
+
+    def wait_dma(j, slot_buf):
+        slot = pt_ref[j]
+        pltpu.make_async_copy(kd_ref.at[slot, bh], kbuf.at[slot_buf],
+                              sems.at[slot_buf, 0]).wait()
+        pltpu.make_async_copy(ks_ref.at[slot, bh], ksbuf.at[slot_buf],
+                              sems.at[slot_buf, 1]).wait()
+        pltpu.make_async_copy(kz_ref.at[slot, bh], kzbuf.at[slot_buf],
+                              sems.at[slot_buf, 2]).wait()
+        pltpu.make_async_copy(vd_ref.at[slot, bh], vbuf.at[slot_buf],
+                              sems.at[slot_buf, 3]).wait()
+        pltpu.make_async_copy(vs_ref.at[slot, bh], vsbuf.at[slot_buf],
+                              sems.at[slot_buf, 4]).wait()
+        pltpu.make_async_copy(vz_ref.at[slot, bh], vzbuf.at[slot_buf],
+                              sems.at[slot_buf, 5]).wait()
+
+    def unpack(buf_ref, slot_buf):
+        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P, Dp]
+        parts = [((t32 >> (p * bits)) & mask)
+                 .astype(jnp.float32).astype(jnp.bfloat16)
+                 for p in range(vpb)]
+        return jnp.concatenate(parts, axis=-1)         # [P, D]
+
+    start_dma(0, 0)
+
+    m = jnp.full((TQ, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((TQ, 1), jnp.float32)
+    acc = jnp.zeros((TQ, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot_buf = j % 2
+
+        @pl.when(j + 1 < n_pages)
+        def _():
+            start_dma(j + 1, (j + 1) % 2)
+
+        wait_dma(j, slot_buf)
+
+        k_lv = unpack(kbuf, slot_buf)                  # [P, D]
+        ks = ksbuf[slot_buf][0:1, :]                   # [1, P]
+        kz = kzbuf[slot_buf][0:1, :]
+        raw = jax.lax.dot_general(
+            q, k_lv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [TQ, P]
+        logits = (raw * ks - qsum * (ks * kz)) * sm_scale
+
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        v_lv = unpack(vbuf, slot_buf)
+        vs = vsbuf[slot_buf][0:1, :]
+        vz = vzbuf[slot_buf][0:1, :]
+        ps = (p * vs).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            ps, v_lv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        corr = jnp.sum(p * vs * vz, axis=1, keepdims=True)
+        return m_new, l_new, acc * alpha + pv - corr
+
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m, l, acc))
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "sm_scale"))
+def paged_attention(
+    q: jax.Array,              # [BH, Sq, D]
+    page_table: jax.Array,     # int32 [n_pages]
+    k_data: jax.Array,         # uint8 [n_slots, BH, P, Dp]
+    k_scale: jax.Array,        # f32 [n_slots, BH, P]
+    k_zp: jax.Array,
+    v_data: jax.Array,
+    v_scale: jax.Array,
+    v_zp: jax.Array,
+    bits: int,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Flash attention over a paged quantized KV sequence. All pages full."""
+    BH, Sq, D = q.shape
+    n_slots, BH2, P, Dp = k_data.shape
+    assert BH2 == BH
+    n_pages = page_table.shape[0]
+    sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
+    # TPU DMA requires the copied block's last dim tiled to 128: the packed
+    # payload Dp = D/vpb must be lane-aligned (int8 needs D>=128, int4
+    # D>=512). Round-2: token-block packing ([n_slots, BH, P/vpb, D]) keeps
+    # the last dim at D for every width.
+    if TQ is None or Dp % 128 != 0 or P % 128 != 0:
+        return _fallback(q, page_table, k_data, k_scale, k_zp,
+                         v_data, v_scale, v_zp, bits, sm)
+
+    # sidecars reshaped so DMA'd blocks are [1, P] (lane-aligned)
+    ks3 = k_scale[:, :, None, :]
+    kz3 = k_zp[:, :, None, :]
+    vs3 = v_scale[:, :, None, :]
+    vz3 = v_zp[:, :, None, :]
+
+    kernel = functools.partial(_kernel, bits=bits, D=D, P=P,
+                               n_pages=n_pages, sm_scale=sm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, Sq // TQ),
+        in_specs=[
+            pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k_data (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v_data
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, Dp), jnp.uint8),    # k pages
+            pltpu.VMEM((2, 1, P), jnp.float32),   # k scale
+            pltpu.VMEM((2, 1, P), jnp.float32),   # k zp
+            pltpu.VMEM((2, P, Dp), jnp.uint8),    # v pages
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(page_table.astype(jnp.int32), q.astype(jnp.bfloat16),
+      k_data, ks3, kz3, v_data, vs3, vz3)
+
+
+def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
+              bits, sm):
+    """XLA gather + dequant + attention (kernel-unfriendly shapes)."""
+    def deq(data, scale, zp):
+        pages = data[page_table]        # [n_pages, BH, P, Dp]
+        sc = scale[page_table]
+        z = zp[page_table]
+        vpb = 8 // bits
+        mask = (1 << bits) - 1
+        d32 = pages.astype(jnp.int32)
+        parts = [((d32 >> (p * bits)) & mask) for p in range(vpb)]
+        lv = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+        full = (lv - z[..., None]) * sc[..., None]     # [n_pages, BH, P, D]
+        return jnp.moveaxis(full, 1, 0).reshape(
+            pages.shape[1], -1, lv.shape[-1])           # [BH, S, D]
+
+    kd = deq(k_data, k_scale, k_zp)
+    vd = deq(v_data, v_scale, v_zp)
+    logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), kd) * sm
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, vd)
