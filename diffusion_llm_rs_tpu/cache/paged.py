@@ -27,7 +27,52 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusion_llm_rs_tpu.cache.salience import allocate_bits
-from diffusion_llm_rs_tpu.ops.pallas_attention import QuantKV, quantize_kv
+from diffusion_llm_rs_tpu.ops.pallas_attention import QuantKV
+
+
+def quantize_page(x: jax.Array, bits: int):
+    """Per-token quantize one page [BH, P, D] into TOKEN-BLOCK-packed layout.
+
+    data: uint8 [BH, P/vpb, D] — byte (t, d) holds the levels of tokens
+    t + p*(P/vpb) in bit-field p. The page's last dim stays D, so page DMA
+    blocks are lane-aligned for EVERY bit width (the D-packed layout of
+    `ops.pallas_attention` shrinks the last dim below the 128-lane tile for
+    sub-8-bit at head_dim 128). Returns (data, scale [BH, P], zp [BH, P]).
+    """
+    BH, P, D = x.shape
+    vpb = 8 // bits
+    if P % vpb:
+        raise ValueError(f"page tokens {P} not divisible by {vpb}")
+    x = x.astype(jnp.float32)
+    qmax = float((1 << bits) - 1)
+    mn = jnp.min(x, axis=-1)
+    mx = jnp.max(x, axis=-1)
+    rng = mx - mn
+    scale = jnp.where(rng > 0, rng / qmax, 1.0)
+    zp = -mn / scale
+    lv = jnp.clip(jnp.round(x / scale[..., None] + zp[..., None]),
+                  0.0, qmax).astype(jnp.uint8)
+    Pp = P // vpb
+    if bits == 8:
+        data = lv
+    else:
+        acc = lv[:, 0:Pp, :].astype(jnp.int32)
+        for p in range(1, vpb):
+            acc = acc | (lv[:, p * Pp:(p + 1) * Pp, :].astype(jnp.int32)
+                         << (p * bits))
+        data = acc.astype(jnp.uint8)
+    return data, scale.astype(jnp.float32), zp.astype(jnp.float32)
+
+
+def dequantize_page(data: jax.Array, scale: jax.Array, zp: jax.Array,
+                    bits: int) -> jax.Array:
+    """Inverse of quantize_page: [BH, P/vpb, D] -> [BH, P, D] float."""
+    vpb = 8 // bits
+    mask = (1 << bits) - 1
+    d32 = data.astype(jnp.int32)
+    parts = [((d32 >> (p * bits)) & mask) for p in range(vpb)]
+    lv = jnp.concatenate(parts, axis=1).astype(jnp.float32)  # [BH, P, D]
+    return (lv - zp[..., None]) * scale[..., None]
 
 
 @dataclasses.dataclass
@@ -65,8 +110,9 @@ class PagedKVCache:
         self._pools: Dict[int, _Pool] = {}
         for bits, n in pages_per_bits.items():
             vpb = 8 // bits
-            dp = head_dim // vpb
-            shape_d = (n, bh, page_size, dp)
+            # token-block packing: last dim stays D (lane-aligned DMA blocks
+            # at every bit width); packed tokens axis shrinks instead
+            shape_d = (n, bh, page_size // vpb, head_dim)
             shape_s = (n, bh, page_size)
             self._pools[bits] = _Pool(
                 k_data=jnp.zeros(shape_d, jnp.uint8),
@@ -105,16 +151,16 @@ class PagedKVCache:
                 pad = P - tokens
                 kc = jnp.pad(kc, ((0, 0), (0, pad), (0, 0)))
                 vc = jnp.pad(vc, ((0, 0), (0, pad), (0, 0)))
-            qk = quantize_kv(kc, bits)
-            qv = quantize_kv(vc, bits)
+            kd, ks, kz = quantize_page(kc, bits)
+            vd, vs, vz = quantize_page(vc, bits)
             slot = self._alloc(bits)
             pool = self._pools[bits]
-            pool.k_data = pool.k_data.at[slot].set(qk.data)
-            pool.v_data = pool.v_data.at[slot].set(qv.data)
-            pool.k_scale = pool.k_scale.at[slot].set(qk.scale)
-            pool.k_zp = pool.k_zp.at[slot].set(qk.zero_point)
-            pool.v_scale = pool.v_scale.at[slot].set(qv.scale)
-            pool.v_zp = pool.v_zp.at[slot].set(qv.zero_point)
+            pool.k_data = pool.k_data.at[slot].set(kd)
+            pool.v_data = pool.v_data.at[slot].set(vd)
+            pool.k_scale = pool.k_scale.at[slot].set(ks)
+            pool.k_zp = pool.k_zp.at[slot].set(kz)
+            pool.v_scale = pool.v_scale.at[slot].set(vs)
+            pool.v_zp = pool.v_zp.at[slot].set(vz)
             handles.append(PageHandle(bits=bits, slot=slot, tokens=tokens))
         return handles
 
@@ -147,19 +193,21 @@ class PagedKVCache:
         ks, vs = [], []
         for h in handles:
             pool = self._pools[h.bits]
-            qk = QuantKV(data=pool.k_data[h.slot], scale=pool.k_scale[h.slot],
-                         zero_point=pool.k_zp[h.slot], bits=h.bits,
-                         D=self.head_dim)
-            qv = QuantKV(data=pool.v_data[h.slot], scale=pool.v_scale[h.slot],
-                         zero_point=pool.v_zp[h.slot], bits=h.bits,
-                         D=self.head_dim)
-            ks.append(qk.dequantize()[:, :h.tokens])
-            vs.append(qv.dequantize()[:, :h.tokens])
+            kd = dequantize_page(pool.k_data[h.slot], pool.k_scale[h.slot],
+                                 pool.k_zp[h.slot], h.bits)
+            vd = dequantize_page(pool.v_data[h.slot], pool.v_scale[h.slot],
+                                 pool.v_zp[h.slot], h.bits)
+            ks.append(kd[:, :h.tokens])
+            vs.append(vd[:, :h.tokens])
         return jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1)
 
     def gather_packed(self, seq_id: str) -> Tuple[QuantKV, QuantKV]:
-        """Packed K/V for the attention kernel. Requires a uniform-width page
-        chain and full pages."""
+        """Contiguous D-packed QuantKV for `ops.pallas_attention.attention`.
+
+        Pools store token-block-packed pages; this repacks the SAME levels
+        into the contiguous kernel's D-packed layout (exact, no requantize).
+        Requires a uniform-width page chain and full pages.
+        """
         handles = self.page_tables.get(seq_id)
         if not handles:
             raise KeyError(f"unknown sequence {seq_id!r}")
@@ -168,22 +216,37 @@ class PagedKVCache:
             raise ValueError("mixed-precision chain: use gather()")
         pool = self._pools[bits]
         slots = jnp.asarray([h.slot for h in handles])
-
-        def cat(arr):
-            # [n, BH, P, ...] -> [BH, n*P, ...]
-            pages = arr[slots]
-            moved = jnp.moveaxis(pages, 0, 1)
-            return moved.reshape(self.bh, -1, *arr.shape[3:])
-
+        vpb = 8 // bits
+        mask = (1 << bits) - 1
+        D = self.head_dim
         total = sum(h.tokens for h in handles)
-        qk = QuantKV(data=cat(pool.k_data)[:, :total],
-                     scale=cat(pool.k_scale)[:, :total],
-                     zero_point=cat(pool.k_zp)[:, :total],
-                     bits=bits, D=self.head_dim)
-        qv = QuantKV(data=cat(pool.v_data)[:, :total],
-                     scale=cat(pool.v_scale)[:, :total],
-                     zero_point=cat(pool.v_zp)[:, :total],
-                     bits=bits, D=self.head_dim)
+
+        def levels_of(arr):
+            pages = arr[slots]                       # [n, BH, P/vpb, D]
+            d32 = pages.astype(jnp.int32)
+            parts = [((d32 >> (p * bits)) & mask) for p in range(vpb)]
+            lv = jnp.concatenate(parts, axis=2)      # [n, BH, P, D]
+            return jnp.moveaxis(lv, 0, 1).reshape(self.bh, -1, D)[:, :total]
+
+        def repack_d(lv):
+            if bits == 8:
+                return lv.astype(jnp.uint8)
+            Dp = D // vpb
+            acc = lv[..., 0:Dp].astype(jnp.int32)
+            for p in range(1, vpb):
+                acc = acc | (lv[..., p * Dp:(p + 1) * Dp] << (p * bits))
+            return acc.astype(jnp.uint8)
+
+        def side(arr):
+            moved = jnp.moveaxis(arr[slots], 0, 1)
+            return moved.reshape(self.bh, -1)[:, :total]
+
+        qk = QuantKV(data=repack_d(levels_of(pool.k_data)),
+                     scale=side(pool.k_scale), zero_point=side(pool.k_zp),
+                     bits=bits, D=D)
+        qv = QuantKV(data=repack_d(levels_of(pool.v_data)),
+                     scale=side(pool.v_scale), zero_point=side(pool.v_zp),
+                     bits=bits, D=D)
         return qk, qv
 
     def free(self, seq_id: str) -> int:

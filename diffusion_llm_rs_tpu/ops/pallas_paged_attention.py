@@ -6,8 +6,9 @@ per-sequence page table names the slots, and the kernel gathers pages by
 table lookup with double-buffered async DMA — no host-side gather, no fp
 materialization of the cache.
 
-Layout (matches `cache/paged.py` pools):
-  - k_data/v_data: uint8 [n_slots, BH, P, D/vpb]   (block-packed along D)
+Layout (matches `cache/paged.py` pools — TOKEN-block packed, so page DMA
+blocks keep the last dim at D and stay lane-aligned at every bit width):
+  - k_data/v_data: uint8 [n_slots, BH, P/vpb, D]
   - k_scale/k_zp/v_scale/v_zp: f32 [n_slots, BH, P]  (per-token sidecars)
   - page_table: int32 [n_pages]  (slot per logical page, scalar-prefetched)
 
@@ -36,7 +37,6 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
             kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
             *, bits: int, D: int, P: int, n_pages: int, sm_scale: float):
     vpb = 8 // bits
-    Dp = D // vpb
     mask = (1 << bits) - 1
     bh = pl.program_id(0)
     q = q_ref[0]                       # [TQ, D] bf16
@@ -78,11 +78,11 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
                               sems.at[slot_buf, 5]).wait()
 
     def unpack(buf_ref, slot_buf):
-        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P, Dp]
+        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, D]
         parts = [((t32 >> (p * bits)) & mask)
                  .astype(jnp.float32).astype(jnp.bfloat16)
                  for p in range(vpb)]
-        return jnp.concatenate(parts, axis=-1)         # [P, D]
+        return jnp.concatenate(parts, axis=0)          # [P, D] token order
 
     start_dma(0, 0)
 
@@ -131,7 +131,7 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
 def paged_attention(
     q: jax.Array,              # [BH, Sq, D]
     page_table: jax.Array,     # int32 [n_pages]
-    k_data: jax.Array,         # uint8 [n_slots, BH, P, Dp]
+    k_data: jax.Array,         # uint8 [n_slots, BH, P/vpb, D]
     k_scale: jax.Array,        # f32 [n_slots, BH, P]
     k_zp: jax.Array,
     v_data: jax.Array,
@@ -142,16 +142,17 @@ def paged_attention(
 ) -> jax.Array:
     """Flash attention over a paged quantized KV sequence. All pages full."""
     BH, Sq, D = q.shape
-    n_slots, BH2, P, Dp = k_data.shape
-    assert BH2 == BH
+    n_slots, BH2, Pp, D2 = k_data.shape
+    assert BH2 == BH and D2 == D
+    vpb = 8 // bits
+    P = Pp * vpb
     n_pages = page_table.shape[0]
     sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
-    # TPU DMA requires the copied block's last dim tiled to 128: the packed
-    # payload Dp = D/vpb must be lane-aligned (int8 needs D>=128, int4
-    # D>=512). Round-2: token-block packing ([n_slots, BH, P/vpb, D]) keeps
-    # the last dim at D for every width.
-    if TQ is None or Dp % 128 != 0 or P % 128 != 0:
+    # TPU DMA needs the page block's last dim lane-aligned (token-block
+    # packing keeps it at D for every bit width) and the packed token axis
+    # sublane-aligned.
+    if TQ is None or D % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
         return _fallback(q, page_table, k_data, k_scale, k_zp,
                          v_data, v_scale, v_zp, bits, sm)
 
@@ -179,10 +180,10 @@ def paged_attention(
         out_specs=pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, P, Dp), jnp.uint8),    # k pages
+            pltpu.VMEM((2, Pp, D), jnp.uint8),    # k pages (token-packed)
             pltpu.VMEM((2, 1, P), jnp.float32),   # k scale
             pltpu.VMEM((2, 1, P), jnp.float32),   # k zp
-            pltpu.VMEM((2, P, Dp), jnp.uint8),    # v pages
+            pltpu.VMEM((2, Pp, D), jnp.uint8),    # v pages
             pltpu.VMEM((2, 1, P), jnp.float32),
             pltpu.VMEM((2, 1, P), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 6)),
@@ -202,14 +203,14 @@ def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
               bits, sm):
     """XLA gather + dequant + attention (kernel-unfriendly shapes)."""
     def deq(data, scale, zp):
-        pages = data[page_table]        # [n_pages, BH, P, Dp]
-        sc = scale[page_table]
+        pages = data[page_table]        # [n_pages, BH, P/vpb, D]
+        sc = scale[page_table]          # [n_pages, BH, P]
         z = zp[page_table]
         vpb = 8 // bits
         mask = (1 << bits) - 1
         d32 = pages.astype(jnp.int32)
         parts = [((d32 >> (p * bits)) & mask) for p in range(vpb)]
-        lv = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
+        lv = jnp.concatenate(parts, axis=2).astype(jnp.float32)  # token order
         full = (lv - z[..., None]) * sc[..., None]     # [n_pages, BH, P, D]
         return jnp.moveaxis(full, 1, 0).reshape(
             pages.shape[1], -1, lv.shape[-1])           # [BH, S, D]
