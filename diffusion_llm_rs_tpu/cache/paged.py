@@ -249,6 +249,42 @@ class PagedKVCache:
                      bits=bits, D=D)
         return qk, qv
 
+    def attend(self, seq_id: str, q: jax.Array,
+               sm_scale: Optional[float] = None) -> jax.Array:
+        """Flash attention of q [BH, Sq, D] over the sequence's paged KV.
+
+        The single entry point for the cache-read side of the hot loop
+        (`forward_with_cache`, `diffuse-llm-rs/src/lib.rs:910-915`): pages
+        stay packed in HBM, the Pallas kernel gathers them by page table.
+        Mixed-precision chains (salience-driven `append_salient`) run ONE
+        kernel call per bit-width bucket over that bucket's pages and
+        flash-merge the partials by log-sum-exp — softmax over the union of
+        disjoint key sets is exact under the merge, so per-page precision
+        costs no extra passes over HBM and no recompile per mixture.
+        """
+        from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
+            merge_partials, paged_attention)
+
+        handles = self.page_tables.get(seq_id)
+        if not handles:
+            raise KeyError(f"unknown sequence {seq_id!r}")
+        for i, h in enumerate(handles):
+            if h.slot == -1:
+                self.restore_page(seq_id, i)
+        buckets: Dict[int, List[PageHandle]] = {}
+        for h in handles:
+            buckets.setdefault(h.bits, []).append(h)
+        parts = []
+        for bits, hs in sorted(buckets.items()):
+            pool = self._pools[bits]
+            pt = jnp.asarray([h.slot for h in hs], jnp.int32)
+            nt = jnp.asarray([h.tokens for h in hs], jnp.int32)
+            parts.append(paged_attention(
+                q, pt, pool.k_data, pool.k_scale, pool.k_zp,
+                pool.v_data, pool.v_scale, pool.v_zp, bits=bits,
+                sm_scale=sm_scale, page_tokens=nt, return_lse=True))
+        return merge_partials(parts)
+
     def free(self, seq_id: str) -> int:
         """Release a sequence's pages back to the pools."""
         handles = self.page_tables.pop(seq_id, [])

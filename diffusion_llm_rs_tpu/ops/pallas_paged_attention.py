@@ -32,8 +32,9 @@ NEG_INF = -1e30
 
 
 def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
+            nt_ref,                                  # scalar prefetch [n_pages]
             q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
-            out_ref,
+            out_ref, lse_ref,
             kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
             *, bits: int, D: int, P: int, n_pages: int, sm_scale: float):
     vpb = 8 // bits
@@ -107,6 +108,10 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
             q, k_lv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # [TQ, P]
         logits = (raw * ks - qsum * (ks * kz)) * sm_scale
+        # partial last page: token rows >= nt_ref[j] are pad, mask them out
+        valid = nt_ref[j]
+        tok = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(tok < valid, logits, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
         p = jnp.exp(logits - m_new)
@@ -125,9 +130,13 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
 
     m, l, acc = jax.lax.fori_loop(0, n_pages, body, (m, l, acc))
     out_ref[0] = (acc / l).astype(out_ref.dtype)
+    # log-sum-exp residual enables exact flash-merge of partial results
+    # (mixed-precision page chains run one kernel call per bit bucket)
+    lse_ref[...] = (m + jnp.log(l)).reshape(1, 1, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "sm_scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "sm_scale", "return_lse"))
 def paged_attention(
     q: jax.Array,              # [BH, Sq, D]
     page_table: jax.Array,     # int32 [n_pages]
@@ -139,14 +148,24 @@ def paged_attention(
     v_zp: jax.Array,
     bits: int,
     sm_scale: Optional[float] = None,
-) -> jax.Array:
-    """Flash attention over a paged quantized KV sequence. All pages full."""
+    page_tokens: Optional[jax.Array] = None,  # int32 [n_pages] valid tokens
+    return_lse: bool = False,
+):
+    """Flash attention over a paged quantized KV sequence.
+
+    `page_tokens[j]` marks how many leading tokens of page j are valid
+    (partial last page); defaults to all-full. With `return_lse` the
+    per-query log-sum-exp is returned alongside the output so partial
+    results over disjoint page sets merge exactly (`merge_partials`).
+    """
     BH, Sq, D = q.shape
     n_slots, BH2, Pp, D2 = k_data.shape
     assert BH2 == BH and D2 == D
     vpb = 8 // bits
     P = Pp * vpb
     n_pages = page_table.shape[0]
+    if page_tokens is None:
+        page_tokens = jnp.full((n_pages,), P, jnp.int32)
     sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
     # TPU DMA needs the page block's last dim lane-aligned (token-block
@@ -154,7 +173,8 @@ def paged_attention(
     # sublane-aligned.
     if TQ is None or D % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
         return _fallback(q, page_table, k_data, k_scale, k_zp,
-                         v_data, v_scale, v_zp, bits, sm)
+                         v_data, v_scale, v_zp, bits, sm, page_tokens,
+                         return_lse)
 
     # sidecars reshaped so DMA'd blocks are [1, P] (lane-aligned)
     ks3 = k_scale[:, :, None, :]
@@ -165,20 +185,26 @@ def paged_attention(
     kernel = functools.partial(_kernel, bits=bits, D=D, P=P,
                                n_pages=n_pages, sm_scale=sm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(BH, Sq // TQ),
         in_specs=[
             pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k_data (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v_data
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_data (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # v_data
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # lse kept 3-D: a (1, TQ) block over [BH, Sq] violates the
+            # (8, 128) tiling rule when BH > 1; (1, 1, TQ) is always legal
+            pl.BlockSpec((1, 1, TQ), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, Pp, D), jnp.uint8),    # k pages (token-packed)
             pltpu.VMEM((2, 1, P), jnp.float32),   # k scale
@@ -189,18 +215,38 @@ def paged_attention(
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
+                   jax.ShapeDtypeStruct((BH, Sq // TQ, TQ), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(page_table.astype(jnp.int32), q.astype(jnp.bfloat16),
-      k_data, ks3, kz3, v_data, vs3, vz3)
+    )(page_table.astype(jnp.int32), page_tokens.astype(jnp.int32),
+      q.astype(jnp.bfloat16), k_data, ks3, kz3, v_data, vs3, vz3)
+    lse = lse.reshape(BH, Sq)
+    return (out, lse) if return_lse else out
+
+
+def merge_partials(parts) -> jax.Array:
+    """Exact flash-merge of attention partials over disjoint key sets.
+
+    parts: list of (out [BH, Sq, D], lse [BH, Sq]) from `paged_attention(...,
+    return_lse=True)` calls over disjoint page sets (e.g. one per bit-width
+    bucket of a salience-allocated mixed-precision chain)."""
+    if len(parts) == 1:
+        return parts[0][0]
+    lses = jnp.stack([p[1] for p in parts])            # [n, BH, Sq]
+    outs = jnp.stack([p[0] for p in parts])            # [n, BH, Sq, D]
+    m = jnp.max(lses, axis=0, keepdims=True)
+    w = jnp.exp(lses - m)                              # [n, BH, Sq]
+    denom = jnp.sum(w, axis=0)                         # [BH, Sq]
+    num = jnp.sum(outs * w[..., None], axis=0)         # [BH, Sq, D]
+    return num / denom[..., None]
 
 
 def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
-              bits, sm):
+              bits, sm, page_tokens, return_lse=False):
     """XLA gather + dequant + attention (kernel-unfriendly shapes)."""
     def deq(data, scale, zp):
         pages = data[page_table]        # [n_pages, BH, P/vpb, D]
@@ -217,6 +263,14 @@ def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
 
     kd = deq(k_data, k_scale, k_zp)
     vd = deq(v_data, v_scale, v_zp)
+    n_pages = page_table.shape[0]
+    P = kd.shape[1] // n_pages
+    tok = jnp.arange(P)[None, :]                        # [1, P]
+    valid = (tok < page_tokens[:, None]).reshape(-1)    # [n_pages*P]
     logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), kd) * sm
+    logits = jnp.where(valid[None, None, :], logits, NEG_INF)
     p = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", p, vd)
+    out = jnp.einsum("bqk,bkd->bqd", p, vd)
+    if return_lse:
+        return out, jax.scipy.special.logsumexp(logits, axis=-1)
+    return out

@@ -83,3 +83,89 @@ def test_paged_attention_fallback_small_pages():
     ref = pa._attention_fallback(q, qk, qv, 1.0 / math.sqrt(D))
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 2e-2, rel
+
+
+def _dense_ref(cache, seq_id, q):
+    kd, vd = cache.gather(seq_id)
+    D = q.shape[-1]
+    logits = jnp.einsum("bqd,bkd->bqk", q.astype(jnp.float32), kd)
+    logits = logits / math.sqrt(D)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p, vd)
+
+
+def test_paged_attention_partial_last_page():
+    """S not a multiple of P: pad tokens must not leak into the softmax."""
+    BH, S, D, P = 2, 300, 128, 128
+    rng = np.random.default_rng(3)
+    kf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(BH, 16, D)).astype(np.float32))
+    cache = PagedKVCache(bh=BH, head_dim=D, page_size=P,
+                         pages_per_bits={4: 8})
+    cache.append("s", kf, vf, bits=4)
+    out = cache.attend("s", q)
+    ref = _dense_ref(cache, "s", q)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+
+
+def test_paged_attention_mixed_precision_merge():
+    """Salience-mixed chain (8/4/2-bit pages): per-bucket kernel calls
+    flash-merged by lse must equal dense attention over the dequantized
+    union."""
+    BH, D, P = 2, 128, 128
+    rng = np.random.default_rng(4)
+    chunks = []
+    cache = PagedKVCache(bh=BH, head_dim=D, page_size=P,
+                         pages_per_bits={8: 4, 4: 4, 2: 4})
+    for bits in (8, 4, 2, 4):
+        kf = jnp.asarray(rng.normal(size=(BH, P, D)).astype(np.float32))
+        vf = jnp.asarray(rng.normal(size=(BH, P, D)).astype(np.float32))
+        cache.append("s", kf, vf, bits=bits)
+        chunks.append((kf, vf))
+    q = jnp.asarray(rng.normal(size=(BH, 16, D)).astype(np.float32))
+    out = cache.attend("s", q)
+    ref = _dense_ref(cache, "s", q)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+
+
+def test_merge_partials_exactness():
+    """lse merge of two disjoint key sets == softmax over the union (fp32)."""
+    rng = np.random.default_rng(5)
+    BH, Sq, D, S1, S2 = 1, 4, 8, 16, 24
+    q = jnp.asarray(rng.normal(size=(BH, Sq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, S1 + S2, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, S1 + S2, D)).astype(np.float32))
+
+    def part(ks, vs):
+        logits = jnp.einsum("bqd,bkd->bqk", q, ks) / math.sqrt(D)
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqk,bkd->bqd", p, vs)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        return out, lse
+
+    merged = ppa.merge_partials([part(k[:, :S1], v[:, :S1]),
+                                 part(k[:, S1:], v[:, S1:])])
+    ref, _ = part(k, v)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attend_uniform_matches_single_call():
+    BH, S, D, P = 1, 256, 128, 128
+    rng = np.random.default_rng(6)
+    kf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(BH, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(BH, 8, D)).astype(np.float32))
+    cache = PagedKVCache(bh=BH, head_dim=D, page_size=P,
+                         pages_per_bits={8: 4})
+    cache.append("s", kf, vf, bits=8)
+    out = cache.attend("s", q)
+    table, pool = _pools_from_cache(cache, "s", 8)
+    direct = ppa.paged_attention(q, table, pool.k_data, pool.k_scale,
+                                 pool.k_zp, pool.v_data, pool.v_scale,
+                                 pool.v_zp, bits=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
