@@ -285,6 +285,50 @@ class PagedKVCache:
                 sm_scale=sm_scale, page_tokens=nt, return_lse=True))
         return merge_partials(parts)
 
+    def batched_attend(self, seq_ids: Sequence[Optional[str]],
+                       q: jax.Array,
+                       sm_scale: Optional[float] = None) -> jax.Array:
+        """Serving-path attention: q [B, H, Sq, D], one sequence per batch
+        slot (None = inactive slot -> zeros). Each slot's page chain is
+        looked up in-kernel by its own page table with a dynamic page count
+        (`batched_paged_attention`); mixed-precision chains bucket by
+        bit-width and flash-merge, as in `attend`."""
+        from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
+            batched_paged_attention, merge_partials)
+
+        B = q.shape[0]
+        if len(seq_ids) != B:
+            raise ValueError(f"{len(seq_ids)} seq_ids for batch {B}")
+        chains: List[List[PageHandle]] = []
+        for sid in seq_ids:
+            handles = self.page_tables.get(sid, []) if sid is not None else []
+            for i, h in enumerate(handles):
+                if h.slot == -1:
+                    self.restore_page(sid, i)
+            chains.append(handles)
+        all_bits = sorted({h.bits for hs in chains for h in hs})
+        if not all_bits:
+            return jnp.zeros(q.shape, jnp.float32)
+        parts = []
+        for bits in all_bits:
+            per_slot = [[h for h in hs if h.bits == bits] for hs in chains]
+            n_max = max(1, max(len(hs) for hs in per_slot))
+            pt = np.zeros((B, n_max), np.int32)
+            nt = np.zeros((B, n_max), np.int32)
+            npg = np.zeros((B,), np.int32)
+            for b, hs in enumerate(per_slot):
+                npg[b] = len(hs)
+                for j, h in enumerate(hs):
+                    pt[b, j] = h.slot
+                    nt[b, j] = h.tokens
+            pool = self._pools[bits]
+            parts.append(batched_paged_attention(
+                q, jnp.asarray(pt), jnp.asarray(nt), jnp.asarray(npg),
+                pool.k_data, pool.k_scale, pool.k_zp,
+                pool.v_data, pool.v_scale, pool.v_zp, bits=bits,
+                sm_scale=sm_scale, return_lse=True))
+        return merge_partials(parts)
+
     def free(self, seq_id: str) -> int:
         """Release a sequence's pages back to the pools."""
         handles = self.page_tables.pop(seq_id, [])

@@ -242,7 +242,9 @@ def merge_partials(parts) -> jax.Array:
     w = jnp.exp(lses - m)                              # [n, BH, Sq]
     denom = jnp.sum(w, axis=0)                         # [BH, Sq]
     num = jnp.sum(outs * w[..., None], axis=0)         # [BH, Sq, D]
-    return num / denom[..., None]
+    # a slot with no pages in ANY bucket has all lse=-inf -> denom 0; keep
+    # its output at 0 instead of NaN (inactive continuous-batching slot)
+    return num / jnp.where(denom > 0, denom, 1.0)[..., None]
 
 
 def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
@@ -273,4 +275,228 @@ def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
     out = jnp.einsum("bqk,bkd->bqd", p, vd)
     if return_lse:
         return out, jax.scipy.special.logsumexp(logits, axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-sequence variant (continuous-batching serving path)
+# ---------------------------------------------------------------------------
+
+
+def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
+                    nt_ref,      # scalar prefetch [B, n_pages_max]
+                    np_ref,      # scalar prefetch [B] pages per slot
+                    q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
+                    out_ref, lse_ref,
+                    kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
+                    *, bits: int, D: int, P: int, sm_scale: float):
+    """One (batch-slot, head, q-tile) grid cell; the page LOOP BOUND is the
+    slot's dynamic page count (scalar-prefetched), so inactive slots cost
+    nothing and sequence lengths vary per slot without recompilation."""
+    vpb = 8 // bits
+    mask = (1 << bits) - 1
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    count = np_ref[b]
+    q = q_ref[0, 0]                    # [TQ, D] bf16
+    TQ = q.shape[0]
+    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+
+    refs = (kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref)
+    bufs = (kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf)
+
+    def start_dma(j, slot_buf):
+        slot = pt_ref[b, j]
+        for i, (r, sc) in enumerate(zip(refs, bufs)):
+            pltpu.make_async_copy(r.at[slot, h], sc.at[slot_buf],
+                                  sems.at[slot_buf, i]).start()
+
+    def wait_dma(j, slot_buf):
+        slot = pt_ref[b, j]
+        for i, (r, sc) in enumerate(zip(refs, bufs)):
+            pltpu.make_async_copy(r.at[slot, h], sc.at[slot_buf],
+                                  sems.at[slot_buf, i]).wait()
+
+    def unpack(buf_ref, slot_buf):
+        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, D]
+        parts = [((t32 >> (p * bits)) & mask)
+                 .astype(jnp.float32).astype(jnp.bfloat16)
+                 for p in range(vpb)]
+        return jnp.concatenate(parts, axis=0)          # [P, D] token order
+
+    @pl.when(count > 0)
+    def _():
+        start_dma(0, 0)
+
+    m0 = jnp.full((TQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((TQ, 1), jnp.float32)
+    acc0 = jnp.zeros((TQ, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot_buf = j % 2
+
+        @pl.when(j + 1 < count)
+        def _():
+            start_dma(j + 1, (j + 1) % 2)
+
+        wait_dma(j, slot_buf)
+        k_lv = unpack(kbuf, slot_buf)
+        ks = ksbuf[slot_buf][0:1, :]
+        kz = kzbuf[slot_buf][0:1, :]
+        raw = jax.lax.dot_general(
+            q, k_lv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = (raw * ks - qsum * (ks * kz)) * sm_scale
+        valid = nt_ref[b, j]
+        tok = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(tok < valid, logits, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        v_lv = unpack(vbuf, slot_buf)
+        vs = vsbuf[slot_buf][0:1, :]
+        vz = vzbuf[slot_buf][0:1, :]
+        ps = (p * vs).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            ps, v_lv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        corr = jnp.sum(p * vs * vz, axis=1, keepdims=True)
+        return m_new, l_new, acc * alpha + pv - corr
+
+    m, l, acc = jax.lax.fori_loop(0, count, body, (m0, l0, acc0))
+    safe_l = jnp.where(l > 0, l, 1.0)
+    out_ref[0, 0] = (acc / safe_l).astype(out_ref.dtype)
+    lse_ref[...] = jnp.where(l > 0, m + jnp.log(safe_l),
+                             NEG_INF).reshape(1, 1, 1, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bits", "sm_scale", "return_lse"))
+def batched_paged_attention(
+    q: jax.Array,               # [B, H, Sq, D]
+    page_tables: jax.Array,     # int32 [B, n_pages_max]
+    page_tokens: jax.Array,     # int32 [B, n_pages_max]
+    n_pages: jax.Array,         # int32 [B]
+    k_data: jax.Array,          # uint8 [n_slots, H, P/vpb, D]
+    k_scale: jax.Array,         # f32 [n_slots, H, P]
+    k_zp: jax.Array,
+    v_data: jax.Array,
+    v_scale: jax.Array,
+    v_zp: jax.Array,
+    bits: int,
+    sm_scale: Optional[float] = None,
+    return_lse: bool = False,
+):
+    """Flash attention for B independent sequences over one page pool.
+
+    The serving-path kernel: each batch slot names its own page chain
+    (vLLM-style), lengths differ per slot, and empty slots (n_pages=0) are
+    skipped by the dynamic loop bound. Slots with zero pages return zeros
+    (lse=-inf), so inactive continuous-batching slots are free."""
+    B, H, Sq, D = q.shape
+    n_slots, H2, Pp, D2 = k_data.shape
+    assert H2 == H and D2 == D
+    vpb = 8 // bits
+    P = Pp * vpb
+    n_pages_max = page_tables.shape[1]
+    sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
+    if TQ is None or D % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
+        return _batched_fallback(q, page_tables, page_tokens, n_pages,
+                                 k_data, k_scale, k_zp, v_data, v_scale,
+                                 v_zp, bits, sm, return_lse)
+
+    ks3 = k_scale[:, :, None, :]
+    kz3 = k_zp[:, :, None, :]
+    vs3 = v_scale[:, :, None, :]
+    vz3 = v_zp[:, :, None, :]
+
+    kernel = functools.partial(_batched_kernel, bits=bits, D=D, P=P,
+                               sm_scale=sm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, H, Sq // TQ),
+        in_specs=[
+            pl.BlockSpec((1, 1, TQ, D), lambda b, h, i, *_: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # k_data (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # v_data
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TQ, D), lambda b, h, i, *_: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TQ), lambda b, h, i, *_: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Pp, D), jnp.uint8),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, Pp, D), jnp.uint8),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, H, Sq, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Sq // TQ, TQ), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(page_tables.astype(jnp.int32), page_tokens.astype(jnp.int32),
+      n_pages.astype(jnp.int32), q.astype(jnp.bfloat16),
+      k_data, ks3, kz3, v_data, vs3, vz3)
+    lse = lse.reshape(B, H, Sq)
+    return (out, lse) if return_lse else out
+
+
+def _batched_fallback(q, page_tables, page_tokens, n_pages, k_data, k_scale,
+                      k_zp, v_data, v_scale, v_zp, bits, sm,
+                      return_lse=False):
+    """XLA reference: gather every slot's chain, mask invalid tokens/pages."""
+    B, H, Sq, D = q.shape
+    n_pages_max = page_tables.shape[1]
+    P = (k_data.shape[2] * (8 // bits))
+
+    def deq(data, scale, zp):
+        pages = data[page_tables.reshape(-1)]   # [B*n_max, H, P/vpb, D]
+        sc = scale[page_tables.reshape(-1)]
+        z = zp[page_tables.reshape(-1)]
+        vpb = 8 // bits
+        mask = (1 << bits) - 1
+        d32 = pages.astype(jnp.int32)
+        parts = [((d32 >> (p * bits)) & mask) for p in range(vpb)]
+        lv = jnp.concatenate(parts, axis=2).astype(jnp.float32)
+        full = (lv - z[..., None]) * sc[..., None]  # [B*n_max, H, P, D]
+        full = full.reshape(B, n_pages_max, H, P, D)
+        return jnp.moveaxis(full, 2, 1).reshape(B, H, n_pages_max * P, D)
+
+    kd = deq(k_data, k_scale, k_zp)
+    vd = deq(v_data, v_scale, v_zp)
+    # validity: page j valid iff j < n_pages[b]; token t < page_tokens[b, j]
+    page_idx = jnp.arange(n_pages_max)[None, :]
+    page_ok = page_idx < n_pages[:, None]                       # [B, n_max]
+    tok = jnp.arange(P)[None, None, :]
+    tok_ok = tok < page_tokens[:, :, None]                      # [B, n_max, P]
+    valid = (page_ok[:, :, None] & tok_ok).reshape(B, 1, 1, -1)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kd) * sm
+    logits = jnp.where(valid, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, vd)
+    any_valid = valid.any(axis=-1)                              # [B, 1, 1]
+    out = jnp.where(any_valid[..., None], out, 0.0)
+    if return_lse:
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        lse = jnp.where(any_valid, lse, NEG_INF)
+        return out, lse
     return out

@@ -169,3 +169,65 @@ def test_attend_uniform_matches_single_call():
                                  pool.v_zp, bits=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-5, atol=1e-5)
+
+
+def _dense_ref_bhqd(cache, seq_id, q_bh):
+    # q_bh: [H, Sq, D] for one sequence whose cache bh == H
+    kd, vd = cache.gather(seq_id)
+    D = q_bh.shape[-1]
+    logits = jnp.einsum("hqd,hkd->hqk", q_bh.astype(jnp.float32), kd)
+    logits = logits / math.sqrt(D)
+    p = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("hqk,hkd->hqd", p, vd)
+
+
+def test_batched_paged_attention_varied_lengths():
+    """3 active slots with different lengths + 1 inactive; per-slot output
+    must match single-sequence dense reference; inactive slot -> zeros."""
+    H, D, P = 2, 128, 128
+    rng = np.random.default_rng(7)
+    cache = PagedKVCache(bh=H, head_dim=D, page_size=P,
+                         pages_per_bits={4: 12})
+    lengths = {"a": 256, "b": 300, "c": 128}
+    for sid, S in lengths.items():
+        kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        cache.append(sid, kf, vf, bits=4)
+    q = jnp.asarray(rng.normal(size=(4, H, 16, D)).astype(np.float32))
+    out = cache.batched_attend(["a", "b", None, "c"], q)
+    assert out.shape == (4, H, 16, D)
+    for b, sid in [(0, "a"), (1, "b"), (3, "c")]:
+        ref = _dense_ref_bhqd(cache, sid, q[b])
+        rel = float(jnp.linalg.norm(out[b] - ref) / jnp.linalg.norm(ref))
+        assert rel < 2e-2, (sid, rel)
+    np.testing.assert_array_equal(np.asarray(out[2]), 0.0)
+
+
+def test_batched_attend_mixed_precision():
+    """Slot a: 8-bit pages; slot b: mixed 8/2-bit chain -> bucket merge."""
+    H, D, P = 2, 128, 128
+    rng = np.random.default_rng(8)
+    cache = PagedKVCache(bh=H, head_dim=D, page_size=P,
+                         pages_per_bits={8: 4, 2: 4})
+    ka = jnp.asarray(rng.normal(size=(H, P, D)).astype(np.float32))
+    va = jnp.asarray(rng.normal(size=(H, P, D)).astype(np.float32))
+    cache.append("a", ka, va, bits=8)
+    for bits in (8, 2):
+        kb = jnp.asarray(rng.normal(size=(H, P, D)).astype(np.float32))
+        vb = jnp.asarray(rng.normal(size=(H, P, D)).astype(np.float32))
+        cache.append("b", kb, vb, bits=bits)
+    q = jnp.asarray(rng.normal(size=(2, H, 8, D)).astype(np.float32))
+    out = cache.batched_attend(["a", "b"], q)
+    for b, sid in [(0, "a"), (1, "b")]:
+        ref = _dense_ref_bhqd(cache, sid, q[b])
+        rel = float(jnp.linalg.norm(out[b] - ref) / jnp.linalg.norm(ref))
+        assert rel < 2e-2, (sid, rel)
+
+
+def test_batched_attend_all_inactive():
+    H, D, P = 1, 128, 128
+    cache = PagedKVCache(bh=H, head_dim=D, page_size=P,
+                         pages_per_bits={8: 2})
+    q = jnp.ones((2, H, 8, D), jnp.float32)
+    out = cache.batched_attend([None, None], q)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
