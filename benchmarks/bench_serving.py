@@ -26,22 +26,33 @@ jax.config.update("jax_compilation_cache_dir",
 
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
-from diffusion_llm_rs_tpu.serving import ContinuousBatcher, Request
+from diffusion_llm_rs_tpu.serving import (ContinuousBatcher,
+                                          PagedContinuousBatcher, Request)
 
 SLOTS = int(os.environ.get("SERVE_SLOTS", 8))
 SEQ = int(os.environ.get("SERVE_SEQ", 128))
 REQUESTS = int(os.environ.get("SERVE_REQUESTS", 32))
 HIDDEN = int(os.environ.get("SERVE_HIDDEN", 768))
 LAYERS = int(os.environ.get("SERVE_LAYERS", 12))
+# SERVE_PAGED=1: quantized paged-KV serving path. The paged kernel wants
+# head_dim % 128 == 0 and page >= 128 tokens; other shapes run the XLA
+# fallback (slower, same numerics).
+PAGED = os.environ.get("SERVE_PAGED", "0") == "1"
+HEAD_DIM = int(os.environ.get("SERVE_HEAD_DIM", 128 if PAGED else 64))
+PAGE = int(os.environ.get("SERVE_PAGE", min(SEQ, 128)))
 
 
 def main():
     cfg = DiffusionConfig(num_timesteps=1000, hidden_size=HIDDEN,
                           num_layers=LAYERS,
-                          num_attention_heads=max(HIDDEN // 64, 1),
+                          num_attention_heads=max(HIDDEN // HEAD_DIM, 1),
                           vocab_size=50257, max_sequence_length=SEQ)
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
-    b = ContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ)
+    if PAGED:
+        b = PagedContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ,
+                                   page_size=PAGE)
+    else:
+        b = ContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ)
 
     # warm up the jitted step
     b.submit(Request("warm", seq_len=SEQ, num_steps=2))
@@ -58,7 +69,8 @@ def main():
     total_steps = sum(c.steps for c in done)
     lat = [c.latency_s for c in done]
     print(json.dumps({
-        "metric": "continuous batching throughput",
+        "metric": ("paged-KV continuous batching throughput" if PAGED
+                   else "continuous batching throughput"),
         "value": round(total_tokens / dt, 1),
         "unit": "gen tokens/s",
         "requests": len(done),

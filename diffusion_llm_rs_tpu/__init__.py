@@ -30,6 +30,9 @@ def __getattr__(name):
     if name == "Engine":
         from diffusion_llm_rs_tpu.engine import Engine
         return Engine
+    if name in ("ContinuousBatcher", "PagedContinuousBatcher", "Request"):
+        from diffusion_llm_rs_tpu import serving
+        return getattr(serving, name)
     if name in ("models", "cache", "index", "router", "storage", "parallel",
                 "tokenizer", "ops", "utils"):
         import importlib
@@ -39,5 +42,6 @@ def __getattr__(name):
 
 __all__ = [
     "quant", "Engine", "DiffusionConfig", "PhaseQuantConfig", "PrefillConfig",
-    "SystemConfig", "WeightQuantConfig",
+    "SystemConfig", "WeightQuantConfig", "ContinuousBatcher",
+    "PagedContinuousBatcher", "Request",
 ]

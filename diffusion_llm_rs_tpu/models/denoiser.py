@@ -157,6 +157,7 @@ def denoiser_forward(
     return_kv: bool = False,
     return_hidden: bool = False,
     cached_qkv=None,  # list per layer of (QuantKV k, QuantKV v) — packed path
+    attend_fn=None,   # (layer_idx, q, k, v, mask) -> attn_out, all [B,S,H,Hd]
 ):
     """Predict noise; optionally consume cached K/V and emit fresh K/V.
 
@@ -195,7 +196,13 @@ def denoiser_forward(
         if return_kv:
             new_ks.append(k)
             new_vs.append(v)
-        if cached_qkv is not None:
+        if attend_fn is not None:
+            # serving path: the caller owns attention (e.g. paged quantized
+            # KV — update pages with fresh K/V, then attend over them,
+            # preserving the reference's update-then-read order,
+            # `diffuse-llm-rs/src/lib.rs:907-918`)
+            attn_out = attend_fn(li, q, k, v, mask).astype(dtype)
+        elif cached_qkv is not None:
             # packed path: Pallas flash attention reads quantized K/V directly
             from diffusion_llm_rs_tpu.ops import pallas_attention as pa
             qk, qv = cached_qkv[li]

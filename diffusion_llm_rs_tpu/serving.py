@@ -20,6 +20,7 @@ the sharded step compiles with the same static shapes (parallel/mesh.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional, Tuple
@@ -28,9 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffusion_llm_rs_tpu.cache.paged import quantize_page
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
+from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
+    batched_paged_attention, merge_partials)
 from diffusion_llm_rs_tpu.utils.metrics import metrics
 
 
@@ -116,6 +120,12 @@ class ContinuousBatcher:
             self.slot_request[slot] = req
             metrics.inc("batcher.admitted")
 
+    def _invoke_step(self, active_mask: np.ndarray, key: jax.Array) -> None:
+        """Run the jitted denoise step, updating self.x (and any cache state)."""
+        self.x = self._step_fn(self.params, self.x,
+                               jnp.asarray(self.t), jnp.asarray(active_mask),
+                               key)
+
     def step(self) -> int:
         """Admit, run ONE denoise step over the batch, retire finished slots.
         Returns the number of active slots stepped."""
@@ -125,9 +135,7 @@ class ContinuousBatcher:
         if n_active == 0:
             return 0
         self._key, sub = jax.random.split(self._key)
-        self.x = self._step_fn(self.params, self.x,
-                               jnp.asarray(self.t), jnp.asarray(active_mask),
-                               sub)
+        self._invoke_step(active_mask, sub)
         finished = active_mask & (self.t == 0)
         self.t = np.where(active_mask, self.t - 1, self.t)
         metrics.inc("batcher.steps")
@@ -166,3 +174,158 @@ class ContinuousBatcher:
             "active": self.active_slots(),
             "completed": len(self.completions),
         }
+
+
+# ---------------------------------------------------------------------------
+# Paged quantized-KV serving path
+# ---------------------------------------------------------------------------
+
+
+def _quantize_pages(x: jax.Array, bits: int):
+    """Per-token quantize pages [N, H, P, Hd] into the pools' token-block
+    layout: data [N, H, P/vpb, Hd] + scale/zp [N, H, P]
+    (`cache.paged.quantize_page` vectorized over the page axis)."""
+    N, H, P, Hd = x.shape
+    d, s, z = quantize_page(x.reshape(N * H, P, Hd), bits)
+    return (d.reshape(N, H, P // (8 // bits), Hd),
+            s.reshape(N, H, P), z.reshape(N, H, P))
+
+
+class PagedContinuousBatcher(ContinuousBatcher):
+    """Continuous batching with the quantized PAGED KV cache in the hot loop.
+
+    The serving-side integration of the whole memory stack: every layer of
+    the ONE jitted step quantizes its fresh K/V into fixed per-(layer, slot)
+    page ranges of bit-width-bucketed HBM pools (the reference's
+    `update_kv_cache`, `diffuse-llm-rs/src/lib.rs:826-835`) and then attends
+    over those pages with the batched paged flash kernel — its page gather
+    happens in-kernel and its page-loop bound is each slot's OWN page count,
+    so short or inactive slots cost only their own pages
+    (`forward_with_cache`, `lib.rs:910-915`; update-then-read order of
+    `lib.rs:907-918` preserved).
+
+    Phase-aware precision (`lib.rs:85-105`): a slot reads its phase's bucket
+    (prefill bits while t > T/2, decode bits after — the switch at
+    `lib.rs:886`). Both phase copies are written each step, mirroring the
+    dual-copy `KVCacheEntry::update` (`lib.rs:246-276`); the write bandwidth
+    of the extra copy is tiny next to the attention reads, and keeping both
+    static means the per-slot phase switch never recompiles — the bucketed
+    answer to SURVEY.md §7's "dynamic bit-width mid-sampling" hard part.
+    """
+
+    def __init__(self, params, cfg: DiffusionConfig,
+                 schedule: Optional[DiffusionSchedule] = None,
+                 num_slots: int = 8, seq_len: int = 64, seed: int = 0,
+                 page_size: Optional[int] = None):
+        self.page_size = page_size or min(seq_len, 64)
+        if seq_len % self.page_size:
+            raise ValueError(f"seq_len {seq_len} not divisible by page_size "
+                             f"{self.page_size}")
+        qc = cfg.quant_config
+        if cfg.use_phase_aware_quant:
+            self.prefill_bits, self.decode_bits = qc.prefill_bits, qc.decode_bits
+        else:
+            self.prefill_bits = self.decode_bits = cfg.kv_quant_bits
+        self.buckets = tuple(sorted({self.prefill_bits, self.decode_bits}))
+        for bits in self.buckets:
+            if self.page_size % (8 // bits):
+                raise ValueError(f"page_size {self.page_size} not divisible "
+                                 f"by {8 // bits} (bits={bits})")
+        self.num_pages_per_slot = seq_len // self.page_size
+        super().__init__(params, cfg, schedule, num_slots, seq_len, seed)
+        self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+
+    def _make_pool(self, bits: int) -> Dict[str, jax.Array]:
+        """One bucket's HBM page pool (layout = `cache.paged._Pool`, with the
+        pool's BH axis carrying heads; layers and slots partition the page
+        axis as fixed ranges)."""
+        vpb = 8 // bits
+        cfg = self.cfg
+        n = cfg.num_layers * self.num_slots * self.num_pages_per_slot
+        H, Hd, P = cfg.num_attention_heads, cfg.head_dim, self.page_size
+        return {
+            "k_data": jnp.zeros((n, H, P // vpb, Hd), jnp.uint8),
+            "v_data": jnp.zeros((n, H, P // vpb, Hd), jnp.uint8),
+            "k_scale": jnp.ones((n, H, P), jnp.float32),
+            "k_zp": jnp.zeros((n, H, P), jnp.float32),
+            "v_scale": jnp.ones((n, H, P), jnp.float32),
+            "v_zp": jnp.zeros((n, H, P), jnp.float32),
+        }
+
+    def _build_step(self) -> Callable:
+        cfg, schedule = self.cfg, self.schedule
+        B, S = self.num_slots, self.seq_len
+        P, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
+        H, Hd = cfg.num_attention_heads, cfg.head_dim
+        L = cfg.num_layers
+        pb, db = self.prefill_bits, self.decode_bits
+        half_t = cfg.num_timesteps // 2
+        # page id of (layer li, slot b, page j) = (li*B + b)*nps + j — fixed
+        # ranges, so the page tables are constants and scatters are
+        # constant-offset dynamic_update_slices
+        pt_const = jnp.asarray(
+            (np.arange(L * B)[:, None] * nps +
+             np.arange(nps)[None, :]).reshape(L, B, nps), jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(6,))
+        def step(params, x, t_vec, active, seq_lens, key, pools):
+            t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
+            is_prefill = t_clamped > half_t          # lib.rs:886
+            slot_bits = jnp.where(is_prefill, pb, db)
+            nps_actual = ((seq_lens + P - 1) // P).astype(jnp.int32)
+            page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
+            nt = jnp.clip(seq_lens[:, None] - page_idx * P, 0, P
+                          ).astype(jnp.int32)        # valid tokens per page
+            pools = {b: dict(p) for b, p in pools.items()}
+
+            def attend_fn(li, q, k, v, mask):
+                del mask  # page/token validity is carried by nt/npg
+
+                def to_pages(z):  # [B, S, H, Hd] -> [B*nps, H, P, Hd]
+                    z = z.transpose(0, 2, 1, 3).reshape(B, H, nps, P, Hd)
+                    return z.transpose(0, 2, 1, 3, 4).reshape(B * nps, H, P, Hd)
+
+                kp, vp = to_pages(k), to_pages(v)
+                off = li * B * nps
+                parts = []
+                for bits in buckets:
+                    pool = pools[bits]
+                    for name, pages in (("k", kp), ("v", vp)):
+                        d, s, z = _quantize_pages(pages, bits)
+                        pool[f"{name}_data"] = jax.lax.dynamic_update_slice(
+                            pool[f"{name}_data"], d, (off, 0, 0, 0))
+                        pool[f"{name}_scale"] = jax.lax.dynamic_update_slice(
+                            pool[f"{name}_scale"], s, (off, 0, 0))
+                        pool[f"{name}_zp"] = jax.lax.dynamic_update_slice(
+                            pool[f"{name}_zp"], z, (off, 0, 0))
+                    npg = jnp.where(active & (slot_bits == bits),
+                                    nps_actual, 0).astype(jnp.int32)
+                    parts.append(batched_paged_attention(
+                        q.transpose(0, 2, 1, 3), pt_const[li], nt, npg,
+                        pool["k_data"], pool["k_scale"], pool["k_zp"],
+                        pool["v_data"], pool["v_scale"], pool["v_zp"],
+                        bits=bits, return_lse=True))
+                out = merge_partials(parts)          # [B, H, S, Hd] f32
+                return out.transpose(0, 2, 1, 3)
+
+            eps = dn.denoiser_forward(params, cfg, x, t_clamped,
+                                      attend_fn=attend_fn)
+            x_next = p_sample(schedule, x, t_clamped, eps, key)
+            keep = active.reshape(-1, 1, 1)
+            return jnp.where(keep, x_next, x), pools
+
+        return step
+
+    def _invoke_step(self, active_mask: np.ndarray, key: jax.Array) -> None:
+        seq_lens = jnp.asarray(
+            [r.seq_len if r is not None else 0 for r in self.slot_request],
+            jnp.int32)
+        self.x, self.pools = self._step_fn(
+            self.params, self.x, jnp.asarray(self.t),
+            jnp.asarray(active_mask), seq_lens, key, self.pools)
+
+    def cache_memory_bytes(self) -> int:
+        """HBM bytes held by the page pools (packed data + sidecars) — the
+        reference's `kv_cache_memory_usage` metric (`lib.rs:1082-1084`)."""
+        return sum(int(a.size) * a.dtype.itemsize
+                   for pool in self.pools.values() for a in pool.values())

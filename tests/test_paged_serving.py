@@ -1,0 +1,112 @@
+"""PagedContinuousBatcher: quantized paged-KV serving path.
+
+Covers the serving-side integration of the paged cache (SURVEY.md §7
+"continuous batching … with quantized state"): the jitted step writes fresh
+K/V pages (update-then-read order of `diffuse-llm-rs/src/lib.rs:907-918`) and
+attends over them via the batched paged kernel, with phase-aware bit routing
+(`lib.rs:85-105,886`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_llm_rs_tpu.cache.paged import dequantize_page, quantize_page
+from diffusion_llm_rs_tpu.config import DiffusionConfig
+from diffusion_llm_rs_tpu.models import denoiser as dn
+from diffusion_llm_rs_tpu.models.diffusion import p_sample
+from diffusion_llm_rs_tpu.serving import (ContinuousBatcher,
+                                          PagedContinuousBatcher, Request)
+
+
+def _make(num_slots=2, seq_len=8, page_size=4, seed=7, **cfg_kw):
+    cfg = DiffusionConfig.tiny(vocab_size=128, **cfg_kw)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, PagedContinuousBatcher(
+        params, cfg, num_slots=num_slots, seq_len=seq_len,
+        page_size=page_size, seed=seed)
+
+
+def test_paged_batcher_lifecycle():
+    """Requests crossing the prefill->decode phase boundary complete with
+    finite outputs (both bit buckets exercised)."""
+    cfg, params, b = _make()
+    # T=50 -> phase switch at t=25; 40 steps spans prefill AND decode
+    b.submit(Request("long", seq_len=8, num_steps=40))
+    b.submit(Request("short", seq_len=4, num_steps=3))
+    done = b.run_until_drained()
+    assert sorted(c.request_id for c in done) == ["long", "short"]
+    by_id = {c.request_id: c for c in done}
+    assert by_id["long"].embeddings.shape == (8, cfg.hidden_size)
+    assert by_id["short"].embeddings.shape == (4, cfg.hidden_size)
+    for c in done:
+        assert np.all(np.isfinite(c.embeddings))
+    assert b.cache_memory_bytes() > 0
+
+
+def test_paged_batcher_continuous_admission():
+    """More requests than slots with mixed step counts drain correctly."""
+    _, _, b = _make()
+    for i, steps in enumerate([6, 3, 5, 2]):
+        b.submit(Request(f"q{i}", seq_len=8, num_steps=steps))
+    n = b.step()
+    assert n == 2 and b.stats()["queued"] == 2
+    done = b.run_until_drained()
+    assert sorted(c.request_id for c in done) == ["q0", "q1", "q2", "q3"]
+
+
+def test_paged_batcher_validates_page_size():
+    cfg = DiffusionConfig.tiny()
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError):
+        PagedContinuousBatcher(params, cfg, num_slots=1, seq_len=8,
+                               page_size=3)
+
+
+def test_paged_step_matches_fake_quant_reference():
+    """One paged step == denoiser with explicit quantize->dequantize K/V
+    (per-token-per-head affine at the slot's phase bits) + p_sample.
+
+    This pins the whole jitted path — page quantize, in-pool scatter, paged
+    flash attention with per-slot page counts, lse merge — to plain jnp math.
+    """
+    seed, steps = 7, 10  # t=9 <= T/2=25 -> decode phase -> decode_bits=4
+    cfg, params, b = _make(seed=seed)
+    bits = cfg.quant_config.decode_bits
+    b.submit(Request("r", seq_len=8, num_steps=steps))
+    b.step()
+    x_paged = np.asarray(b.x[0])
+
+    # replicate the batcher's key sequence: one split at admission (noise),
+    # one split for the step
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    noise = jax.random.normal(sub, (8, cfg.hidden_size), jnp.float32)
+    x0 = jnp.zeros((2, 8, cfg.hidden_size), jnp.float32).at[0].set(noise)
+    key, step_key = jax.random.split(key)
+    t = jnp.array([steps - 1, 0], jnp.int32)
+
+    def fake_quant(z):  # [B, S, H, Hd] -> quantize/dequantize round trip
+        B, S, H, Hd = z.shape
+        zz = z.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+        d, s, zp = quantize_page(zz, bits)
+        out = dequantize_page(d, s, zp, bits)
+        return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
+
+    def ref_attend(li, q, k, v, mask):
+        return dn.attention(q, fake_quant(k), fake_quant(v), None)
+
+    eps = dn.denoiser_forward(params, cfg, x0, t, attend_fn=ref_attend)
+    x_ref = p_sample(b.schedule, x0, t, eps, step_key)
+    np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_batcher_inactive_slots_preserved():
+    """Inactive slots' state is untouched by the masked step."""
+    _, _, b = _make()
+    x_before = np.asarray(b.x[1])
+    b.submit(Request("solo", seq_len=8, num_steps=2))
+    b.step()
+    np.testing.assert_array_equal(np.asarray(b.x[1]), x_before)
