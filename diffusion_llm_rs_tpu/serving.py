@@ -33,6 +33,7 @@ from diffusion_llm_rs_tpu.cache.paged import quantize_page
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
+from diffusion_llm_rs_tpu.models.sampler import SUPPORTED, bucket_bits
 from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
     batched_paged_attention, merge_partials)
 from diffusion_llm_rs_tpu.utils.metrics import metrics
@@ -181,6 +182,48 @@ class ContinuousBatcher:
 # ---------------------------------------------------------------------------
 
 
+def make_slot_bits_router(cfg: DiffusionConfig):
+    """Per-slot KV bit-width routing, the vectorized twin of
+    `models.sampler.plan_segments` (same phase/progress arithmetic,
+    `diffuse-llm-rs/src/lib.rs:886-904`, with the fixes of DESIGN.md #4).
+
+    Returns (bucket widths, fn) where fn(t, total_steps) -> int32 bits per
+    slot: prefill bits while t > total/2, then decode bits interpolating
+    down to min_decode_bits when progressive precision is on, bucketed onto
+    the supported power-of-two widths.
+    """
+    qc = cfg.quant_config
+    if not cfg.use_phase_aware_quant:
+        bits = bucket_bits(cfg.kv_quant_bits or 8)
+        return (bits,), lambda t, total: jnp.full(t.shape, bits, jnp.int32)
+    pb = bucket_bits(qc.prefill_bits)
+    db = bucket_bits(qc.decode_bits)
+    if qc.progressive_precision:
+        lo = bucket_bits(qc.min_decode_bits)
+        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db)
+    else:
+        decode_widths = (db,)
+    widths = tuple(sorted(set(decode_widths) | {pb}))
+
+    def fn(t: jax.Array, total: jax.Array) -> jax.Array:
+        half = total // 2
+        if qc.progressive_precision:
+            progress = jnp.clip(
+                (half - t).astype(jnp.float32) /
+                jnp.maximum(half, 1).astype(jnp.float32), 0.0, 1.0)
+            target = (qc.decode_bits * (1.0 - progress) +
+                      qc.min_decode_bits * progress)
+            target = jnp.maximum(target, float(qc.min_decode_bits))
+        else:
+            target = jnp.full(t.shape, float(db), jnp.float32)
+        dbits = jnp.full(t.shape, min(decode_widths), jnp.int32)
+        for b in sorted(decode_widths):  # final pick: largest width <= target
+            dbits = jnp.where(target >= b, b, dbits)
+        return jnp.where(t > half, pb, dbits).astype(jnp.int32)
+
+    return widths, fn
+
+
 def _quantize_pages(x: jax.Array, bits: int):
     """Per-token quantize pages [N, H, P, Hd] into the pools' token-block
     layout: data [N, H, P/vpb, Hd] + scale/zp [N, H, P]
@@ -204,13 +247,16 @@ class PagedContinuousBatcher(ContinuousBatcher):
     (`forward_with_cache`, `lib.rs:910-915`; update-then-read order of
     `lib.rs:907-918` preserved).
 
-    Phase-aware precision (`lib.rs:85-105`): a slot reads its phase's bucket
-    (prefill bits while t > T/2, decode bits after — the switch at
-    `lib.rs:886`). Both phase copies are written each step, mirroring the
-    dual-copy `KVCacheEntry::update` (`lib.rs:246-276`); the write bandwidth
-    of the extra copy is tiny next to the attention reads, and keeping both
-    static means the per-slot phase switch never recompiles — the bucketed
-    answer to SURVEY.md §7's "dynamic bit-width mid-sampling" hard part.
+    Phase-aware + progressive precision (`lib.rs:85-105,886-904`): each slot
+    reads the bucket of its own phase — prefill bits while t > num_steps/2,
+    then decode bits interpolating down to min_decode_bits — via
+    `make_slot_bits_router`, the vectorized twin of the engine sampler's
+    `plan_segments`. Every bucket's copy is written each step, generalizing
+    the dual-copy `KVCacheEntry::update` (`lib.rs:246-276`); the write
+    bandwidth of the extra copies is tiny next to the attention reads, and
+    keeping all buckets static means per-slot precision changes never
+    recompile — the bucketed answer to SURVEY.md §7's "dynamic bit-width
+    mid-sampling" hard part.
     """
 
     def __init__(self, params, cfg: DiffusionConfig,
@@ -221,12 +267,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if seq_len % self.page_size:
             raise ValueError(f"seq_len {seq_len} not divisible by page_size "
                              f"{self.page_size}")
-        qc = cfg.quant_config
-        if cfg.use_phase_aware_quant:
-            self.prefill_bits, self.decode_bits = qc.prefill_bits, qc.decode_bits
-        else:
-            self.prefill_bits = self.decode_bits = cfg.kv_quant_bits
-        self.buckets = tuple(sorted({self.prefill_bits, self.decode_bits}))
+        self.buckets, self._slot_bits = make_slot_bits_router(cfg)
         for bits in self.buckets:
             if self.page_size % (8 // bits):
                 raise ValueError(f"page_size {self.page_size} not divisible "
@@ -258,8 +299,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         P, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
         H, Hd = cfg.num_attention_heads, cfg.head_dim
         L = cfg.num_layers
-        pb, db = self.prefill_bits, self.decode_bits
-        half_t = cfg.num_timesteps // 2
+        slot_bits_fn = self._slot_bits
         # page id of (layer li, slot b, page j) = (li*B + b)*nps + j — fixed
         # ranges, so the page tables are constants and scatters are
         # constant-offset dynamic_update_slices
@@ -267,11 +307,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
             (np.arange(L * B)[:, None] * nps +
              np.arange(nps)[None, :]).reshape(L, B, nps), jnp.int32)
 
-        @functools.partial(jax.jit, donate_argnums=(6,))
-        def step(params, x, t_vec, active, seq_lens, key, pools):
+        @functools.partial(jax.jit, donate_argnums=(7,))
+        def step(params, x, t_vec, active, seq_lens, total_steps, key, pools):
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
-            is_prefill = t_clamped > half_t          # lib.rs:886
-            slot_bits = jnp.where(is_prefill, pb, db)
+            # phase + progressive-precision routing per slot (lib.rs:886-904)
+            slot_bits = slot_bits_fn(t_clamped, total_steps)
             nps_actual = ((seq_lens + P - 1) // P).astype(jnp.int32)
             page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
             nt = jnp.clip(seq_lens[:, None] - page_idx * P, 0, P
@@ -320,9 +360,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
         seq_lens = jnp.asarray(
             [r.seq_len if r is not None else 0 for r in self.slot_request],
             jnp.int32)
+        total_steps = jnp.asarray(
+            [r.num_steps if r is not None else 1 for r in self.slot_request],
+            jnp.int32)
         self.x, self.pools = self._step_fn(
             self.params, self.x, jnp.asarray(self.t),
-            jnp.asarray(active_mask), seq_lens, key, self.pools)
+            jnp.asarray(active_mask), seq_lens, total_steps, key, self.pools)
 
     def cache_memory_bytes(self) -> int:
         """HBM bytes held by the page pools (packed data + sidecars) — the

@@ -64,16 +64,21 @@ def test_paged_batcher_validates_page_size():
                                page_size=3)
 
 
-def test_paged_step_matches_fake_quant_reference():
+@pytest.mark.parametrize("steps,expected_phase_bits", [
+    (10, 8),  # t=9 > 10//2 -> prefill bits
+    (2, 4),   # t=1 <= 2//2 -> decode start (progress 0) -> decode_bits
+])
+def test_paged_step_matches_fake_quant_reference(steps, expected_phase_bits):
     """One paged step == denoiser with explicit quantize->dequantize K/V
     (per-token-per-head affine at the slot's phase bits) + p_sample.
 
     This pins the whole jitted path — page quantize, in-pool scatter, paged
-    flash attention with per-slot page counts, lse merge — to plain jnp math.
+    flash attention with per-slot page counts, lse merge, phase routing — to
+    plain jnp math.
     """
-    seed, steps = 7, 10  # t=9 <= T/2=25 -> decode phase -> decode_bits=4
+    seed = 7
     cfg, params, b = _make(seed=seed)
-    bits = cfg.quant_config.decode_bits
+    bits = expected_phase_bits
     b.submit(Request("r", seq_len=8, num_steps=steps))
     b.step()
     x_paged = np.asarray(b.x[0])
@@ -101,6 +106,31 @@ def test_paged_step_matches_fake_quant_reference():
     x_ref = p_sample(b.schedule, x0, t, eps, step_key)
     np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_slot_bits_router_matches_plan_segments():
+    """The serving router reproduces the engine sampler's per-step bit plan
+    (phase switch + progressive interpolation + bucketing) for every t."""
+    import jax.numpy as jnp
+
+    from diffusion_llm_rs_tpu.models.sampler import plan_segments
+    from diffusion_llm_rs_tpu.serving import make_slot_bits_router
+
+    for progressive in (True, False):
+        for num_steps in (1, 2, 7, 20, 50):
+            cfg = DiffusionConfig.tiny()
+            cfg.quant_config.progressive_precision = progressive
+            widths, fn = make_slot_bits_router(cfg)
+            expected = {}
+            for bits, hi, lo in plan_segments(num_steps, cfg):
+                for t in range(lo, hi + 1):
+                    expected[t] = bits
+            ts = jnp.arange(num_steps, dtype=jnp.int32)
+            total = jnp.full((num_steps,), num_steps, jnp.int32)
+            got = np.asarray(fn(ts, total))
+            for t in range(num_steps):
+                assert got[t] == expected[t], (progressive, num_steps, t)
+                assert got[t] in widths
 
 
 def test_paged_batcher_inactive_slots_preserved():
