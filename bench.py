@@ -36,6 +36,13 @@ SEQ = int(os.environ.get("BENCH_SEQ", 256))
 STEPS = int(os.environ.get("BENCH_STEPS", 32))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 BITS = int(os.environ.get("BENCH_BITS", 4))
+# 8 = int8-activation MXU path (W4A8: 1.85x bf16 MXU rate on v5e, perplexity
+# matched to weight-only int4 per BENCH_QUALITY.md); 16 = bf16 activations
+ACT_BITS = int(os.environ.get("BENCH_ACT_BITS", 8))
+# 1 = decode packed weights to int8 in HBM once at load (compute-bound
+# fast path: plain XLA int8 dots, no in-kernel unpack); 0 = packed-in-HBM
+# Pallas kernel (memory-bound fast path)
+DECODED = os.environ.get("BENCH_DECODED", "1" if ACT_BITS == 8 else "0") == "1"
 
 
 def log(*a):
@@ -96,12 +103,15 @@ def main():
     qparams = quantize_tree(params, BITS, symmetric=True,
                             granularity="group", group_size=128, axis=0)
     # one-time repack into the Pallas fused-matmul layout
+    from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8
+
     def _prep(l):
         if isinstance(l, QuantizedTensor) and l.ndim == 2:
             try:
-                return pallas_matmul.prepare(l)
+                mw = pallas_matmul.prepare(l, act_bits=ACT_BITS)
             except ValueError:
                 return l  # e.g. vocab-sized embedding, K not packable
+            return decode_to_int8(mw) if DECODED else mw
         return l
 
     qparams = jax.tree_util.tree_map(
@@ -113,10 +123,13 @@ def main():
         p.dtype == jnp.float32 else p, qparams,
         is_leaf=lambda l: isinstance(
             l, (pallas_matmul.MatmulWeight, QuantizedTensor)))
-    int4_tps = time_run(build(cfg, qparams), f"int{BITS}")
+    label = f"int{BITS}" + ("/a8" if ACT_BITS == 8 else "") + \
+        ("/decoded" if DECODED else "")
+    int4_tps = time_run(build(cfg, qparams), label)
 
+    kind = ("int8-activation" if ACT_BITS == 8 else "weight-only")
     print(json.dumps({
-        "metric": f"int{BITS} weight-only diffusion decode throughput",
+        "metric": f"int{BITS} {kind} diffusion decode throughput",
         "value": round(int4_tps, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(int4_tps / bf16_tps, 4),

@@ -125,14 +125,14 @@ def main():
                                  ids[..., None], -1)
         return jnp.exp(-jnp.mean(lp))
 
-    def q(bits):
+    def q(bits, act_bits=16):
         qp = quantize_tree(params, bits, symmetric=True,
                            granularity="group", group_size=128, axis=0)
 
         def prep(l):
             if isinstance(l, QuantizedTensor) and l.ndim == 2:
                 try:
-                    return pallas_matmul.prepare(l)
+                    return pallas_matmul.prepare(l, act_bits=act_bits)
                 except ValueError:
                     return l
             return l
@@ -144,6 +144,10 @@ def main():
     results["bf16"] = float(ppl(params, eval_ids, k))
     for bits in (8, 4, 2, 1):
         results[f"int{bits}"] = float(ppl(q(bits), eval_ids, k))
+    # int8-activation variants (the MXU-int8 serving fast path)
+    for bits in (8, 4):
+        results[f"int{bits}/a8"] = float(ppl(q(bits, act_bits=8),
+                                             eval_ids, k))
 
     base = results["bf16"]
     lines = ["# BENCH_QUALITY — denoising perplexity vs weight bit-width",

@@ -38,6 +38,9 @@ class WeightQuantConfig:
     sym: bool = True
     desc_act: bool = True
     true_sequential: bool = True
+    # 16 = bf16 activations; 8 = dynamic per-token int8 activations, running
+    # the MXU in int8xint8 (1.85x the bf16 rate on v5e)
+    act_bits: int = 16
 
 
 @dataclasses.dataclass

@@ -131,10 +131,12 @@ class Engine:
             symmetric=self.config.weight_quant.sym,
             group_size=self.config.weight_quant.group_size)
         if kernel_layout:
+            act_bits = self.config.weight_quant.act_bits
+
             def _prep(leaf):
                 if isinstance(leaf, QuantizedTensor) and leaf.ndim == 2:
                     try:
-                        return pallas_matmul.prepare(leaf)
+                        return pallas_matmul.prepare(leaf, act_bits=act_bits)
                     except ValueError:
                         return leaf
                 return leaf

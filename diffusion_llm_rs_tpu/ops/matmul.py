@@ -16,6 +16,7 @@ plain array (bf16/f32), a `QuantizedTensor` (1/2/4/8-bit packed), or an
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 from typing import Optional, Union
@@ -30,6 +31,89 @@ from diffusion_llm_rs_tpu.quant.core import (
 )
 
 Weight = Union[jax.Array, QuantizedTensor, Fp8Tensor]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Int8Weight:
+    """Decoded int8 weight for the compute-bound int8-MXU path.
+
+    The packed sub-byte weight (canonical, checkpointed) is re-gridded ONCE
+    at load time onto its per-column signed-int8 grid and stored decoded in
+    HBM: 2x the int4 packed bytes but half the bf16 traffic, zero in-kernel
+    unpack work, and plain XLA int8 dots run the MXU at its 1.85x int8 rate
+    (act-quant + scale epilogues fuse in XLA). Values are IDENTICAL to the
+    Pallas `act_bits=8` kernel's (same re-grid math); use that kernel instead
+    when weight-read bandwidth dominates (small-batch decode).
+    """
+
+    data: jax.Array        # int8 [K, N]
+    col_scale: jax.Array   # f32 [1, N]
+
+    def tree_flatten(self):
+        return ((self.data, self.col_scale), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def ndim(self):
+        return 2
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        return (self.data.astype(jnp.float32) * self.col_scale).astype(dtype)
+
+
+def decode_to_int8(w) -> Int8Weight:
+    """MatmulWeight -> Int8Weight (exact same column grid as the a8 kernel)."""
+    from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight, prepare
+
+    if isinstance(w, QuantizedTensor):
+        w = prepare(w, act_bits=8)
+    if not isinstance(w, MatmulWeight):
+        raise TypeError(f"cannot decode {type(w).__name__}")
+    if w.col_scale is None:
+        w = dataclasses.replace(
+            w, act_bits=8,
+            col_scale=jnp.maximum(
+                jnp.max(jnp.abs(w.dequantize(jnp.float32)), axis=0,
+                        keepdims=True) / 127.0, 1e-12))
+    vpb = 8 // w.bits
+    mask = jnp.uint8((1 << w.bits) - 1)
+    parts = [((w.data >> jnp.uint8(s * w.bits)) & mask) for s in range(vpb)]
+    lv = jnp.concatenate(parts, axis=0).astype(jnp.float32)      # [K, N]
+    G = w.K // w.scale.shape[0]
+    lv = lv.reshape(-1, G, w.N)
+    inv_cs = 1.0 / w.col_scale
+    val = (lv - w.zero_point[:, None, :]) * (w.scale[:, None, :] *
+                                             inv_cs[:, None, :])
+    data = (jnp.clip(jnp.round(val), -127.0, 127.0)
+            .astype(jnp.int32).astype(jnp.int8).reshape(w.K, w.N))
+    return Int8Weight(data=data, col_scale=w.col_scale)
+
+
+def int8_linear(x: jax.Array, w: Int8Weight,
+                b: Optional[jax.Array] = None,
+                activation: Optional[str] = None,
+                out_dtype=jnp.float32) -> jax.Array:
+    """y = act(quant_act(x) @ w8 * sx * col_scale + b) — all-XLA int8 path."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xi = jnp.round(x2 / sx).astype(jnp.int8)
+    acc = jax.lax.dot_general(xi, w.data, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w.col_scale
+    if b is not None:
+        y = y + b.reshape(1, -1).astype(jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    return y.reshape(*x.shape[:-1], w.data.shape[1]).astype(out_dtype)
 
 _FORCE_FALLBACK = os.environ.get("DLM_TPU_NO_PALLAS", "0") == "1"
 
@@ -86,6 +170,8 @@ def linear(
     packed weights; other paths apply it after (XLA fuses it there).
     """
     out_dtype = preferred_dtype or x.dtype
+    if isinstance(w, Int8Weight):
+        return int8_linear(x, w, b, activation, out_dtype)
     # MatmulWeight: kernel-ready packed layout -> Pallas fused dequant+matmul
     from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
     if isinstance(w, MatmulWeight):

