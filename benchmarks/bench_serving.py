@@ -40,6 +40,8 @@ LAYERS = int(os.environ.get("SERVE_LAYERS", 12))
 PAGED = os.environ.get("SERVE_PAGED", "0") == "1"
 HEAD_DIM = int(os.environ.get("SERVE_HEAD_DIM", 128 if PAGED else 64))
 PAGE = int(os.environ.get("SERVE_PAGE", min(SEQ, 128)))
+# 0 = bf16 weights; 4/8 = int-quantized weights on the decoded int8-MXU path
+WBITS = int(os.environ.get("SERVE_WBITS", 0))
 
 
 def main():
@@ -48,6 +50,23 @@ def main():
                           num_attention_heads=max(HIDDEN // HEAD_DIM, 1),
                           vocab_size=50257, max_sequence_length=SEQ)
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    if WBITS:
+        from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8
+        from diffusion_llm_rs_tpu.ops.pallas_matmul import prepare
+        from diffusion_llm_rs_tpu.quant.core import (QuantizedTensor,
+                                                     quantize_tree)
+        params = quantize_tree(params, WBITS, symmetric=True,
+                               granularity="group", group_size=128, axis=0)
+
+        def _prep(l):
+            if isinstance(l, QuantizedTensor) and l.ndim == 2:
+                try:
+                    return decode_to_int8(prepare(l, act_bits=8))
+                except ValueError:
+                    return l
+            return l
+        params = jax.tree_util.tree_map(
+            _prep, params, is_leaf=lambda l: isinstance(l, QuantizedTensor))
     if PAGED:
         b = PagedContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ,
                                    page_size=PAGE)
@@ -79,6 +98,7 @@ def main():
         "p95_latency_s": round(sorted(lat)[int(0.95 * len(lat)) - 1], 3),
         "total_request_steps": total_steps,
         "wall_s": round(dt, 2),
+        "weight_bits": WBITS or 16,
         "backend": jax.default_backend(),
     }))
 

@@ -289,18 +289,35 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                     q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
                     out_ref, lse_ref,
                     kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
-                    *, bits: int, D: int, P: int, sm_scale: float):
-    """One (batch-slot, head, q-tile) grid cell; the page LOOP BOUND is the
-    slot's dynamic page count (scalar-prefetched), so inactive slots cost
-    nothing and sequence lengths vary per slot without recompilation."""
+                    *, bits: int, D: int, P: int, sm_scale: float,
+                    G: int = 1):
+    """One (batch-slot, head-group, q-tile) grid cell; the page LOOP BOUND is
+    the slot's dynamic page count (scalar-prefetched), so inactive slots cost
+    nothing and sequence lengths vary per slot without recompilation.
+
+    With G > 1 (head grouping, for head_dim D < 128), G heads share the
+    128-lane page block ([.. | head g lanes | ..]) and per-head online
+    softmax runs via LANE MASKS: q is zero-masked to head g's lanes before
+    the full-width dot (so the contraction never mixes heads), and the
+    per-head accumulator keeps only head g's output lanes. No sub-128 lane
+    slicing anywhere — only multiplies by constant 0/1 vectors.
+    """
     vpb = 8 // bits
     mask = (1 << bits) - 1
     b = pl.program_id(0)
-    h = pl.program_id(1)
+    h = pl.program_id(1)               # head-group index
     count = np_ref[b]
-    q = q_ref[0, 0]                    # [TQ, D] bf16
+    q = q_ref[0, 0]                    # [TQ, G*D] bf16 (G heads in lanes)
     TQ = q.shape[0]
-    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+    GD = G * D
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GD), 1)
+    lane_masks = [(lane // D == g).astype(jnp.float32) for g in range(G)]
+
+    qf = q.astype(jnp.float32)
+    q_gs = [(qf * lane_masks[g]).astype(jnp.bfloat16) for g in range(G)]
+    qsum_gs = [jnp.sum(qf * lane_masks[g], axis=1, keepdims=True)
+               for g in range(G)]
 
     refs = (kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref)
     bufs = (kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf)
@@ -318,22 +335,23 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                                   sems.at[slot_buf, i]).wait()
 
     def unpack(buf_ref, slot_buf):
-        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, D]
+        t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, G*D]
         parts = [((t32 >> (p * bits)) & mask)
                  .astype(jnp.float32).astype(jnp.bfloat16)
                  for p in range(vpb)]
-        return jnp.concatenate(parts, axis=0)          # [P, D] token order
+        return jnp.concatenate(parts, axis=0)          # [P, G*D] token order
 
     @pl.when(count > 0)
     def _():
         start_dma(0, 0)
 
-    m0 = jnp.full((TQ, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((TQ, 1), jnp.float32)
-    acc0 = jnp.zeros((TQ, D), jnp.float32)
+    init = []
+    for _ in range(G):
+        init += [jnp.full((TQ, 1), NEG_INF, jnp.float32),
+                 jnp.zeros((TQ, 1), jnp.float32),
+                 jnp.zeros((TQ, GD), jnp.float32)]
 
     def body(j, carry):
-        m, l, acc = carry
         slot_buf = j % 2
 
         @pl.when(j + 1 < count)
@@ -341,48 +359,81 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
             start_dma(j + 1, (j + 1) % 2)
 
         wait_dma(j, slot_buf)
-        k_lv = unpack(kbuf, slot_buf)
-        ks = ksbuf[slot_buf][0:1, :]
-        kz = kzbuf[slot_buf][0:1, :]
-        raw = jax.lax.dot_general(
-            q, k_lv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        logits = (raw * ks - qsum * (ks * kz)) * sm_scale
-        valid = nt_ref[b, j]
-        tok = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(tok < valid, logits, NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-
+        k_lv = unpack(kbuf, slot_buf)                  # [P, G*D]
         v_lv = unpack(vbuf, slot_buf)
-        vs = vsbuf[slot_buf][0:1, :]
-        vz = vzbuf[slot_buf][0:1, :]
-        ps = (p * vs).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            ps, v_lv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        corr = jnp.sum(p * vs * vz, axis=1, keepdims=True)
-        return m_new, l_new, acc * alpha + pv - corr
+        # sidecars [G, P]: head g's tokens in ROW g (sublane slicing only)
+        ks_all = ksbuf[slot_buf]
+        kz_all = kzbuf[slot_buf]
+        vs_all = vsbuf[slot_buf]
+        vz_all = vzbuf[slot_buf]
+        valid = nt_ref[b, j]
 
-    m, l, acc = jax.lax.fori_loop(0, count, body, (m0, l0, acc0))
-    safe_l = jnp.where(l > 0, l, 1.0)
-    out_ref[0, 0] = (acc / safe_l).astype(out_ref.dtype)
-    lse_ref[...] = jnp.where(l > 0, m + jnp.log(safe_l),
-                             NEG_INF).reshape(1, 1, 1, -1)
+        out = list(carry)
+        for g in range(G):
+            m, l, acc = out[3 * g], out[3 * g + 1], out[3 * g + 2]
+            ks, kz = ks_all[g:g + 1, :], kz_all[g:g + 1, :]
+            vs, vz = vs_all[g:g + 1, :], vz_all[g:g + 1, :]
+            raw = jax.lax.dot_general(
+                q_gs[g], k_lv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [TQ, P]
+            logits = (raw * ks - qsum_gs[g] * (ks * kz)) * sm_scale
+            tok = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(tok < valid, logits, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+            p = jnp.exp(logits - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+            ps = (p * vs).astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                ps, v_lv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [TQ, G*D]
+            corr = jnp.sum(p * vs * vz, axis=1, keepdims=True)
+            upd = (pv - corr) * lane_masks[g] if G > 1 else pv - corr
+            out[3 * g], out[3 * g + 1], out[3 * g + 2] = (
+                m_new, l_new, acc * alpha + upd)
+        return tuple(out)
+
+    res = jax.lax.fori_loop(0, count, body, tuple(init))
+    acc_total = jnp.zeros((TQ, GD), jnp.float32)
+    lses = []
+    for g in range(G):
+        m, l, acc = res[3 * g], res[3 * g + 1], res[3 * g + 2]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        contrib = acc / safe_l
+        acc_total = acc_total + (contrib * lane_masks[g] if G > 1
+                                 else contrib)
+        lses.append(jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF))
+    out_ref[0, 0] = acc_total.astype(out_ref.dtype)
+    # lse lanes: head g's TQ values at [g*TQ, (g+1)*TQ)
+    lse_ref[...] = jnp.concatenate(lses, axis=0).reshape(1, 1, 1, -1)
+
+
+def degroup_pool(data: jax.Array, G: int):
+    """[n_slots, H/G, Pp, G*D] grouped pages -> [n_slots, H, Pp, D]."""
+    n, HG, Pp, GD = data.shape
+    D = GD // G
+    return (data.reshape(n, HG, Pp, G, D).transpose(0, 1, 3, 2, 4)
+            .reshape(n, HG * G, Pp, D))
+
+
+def degroup_sidecar(s: jax.Array, G: int):
+    """[n_slots, H/G, G*P] grouped sidecars -> [n_slots, H, P]."""
+    n, HG, GP = s.shape
+    return s.reshape(n, HG * G, GP // G)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bits", "sm_scale", "return_lse"))
+                   static_argnames=("bits", "sm_scale", "return_lse",
+                                    "head_group"))
 def batched_paged_attention(
     q: jax.Array,               # [B, H, Sq, D]
     page_tables: jax.Array,     # int32 [B, n_pages_max]
     page_tokens: jax.Array,     # int32 [B, n_pages_max]
     n_pages: jax.Array,         # int32 [B]
-    k_data: jax.Array,          # uint8 [n_slots, H, P/vpb, D]
-    k_scale: jax.Array,         # f32 [n_slots, H, P]
+    k_data: jax.Array,          # uint8 [n_slots, H/G, P/vpb, G*D]
+    k_scale: jax.Array,         # f32 [n_slots, H/G, G*P]
     k_zp: jax.Array,
     v_data: jax.Array,
     v_scale: jax.Array,
@@ -390,38 +441,57 @@ def batched_paged_attention(
     bits: int,
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
+    head_group: int = 1,
 ):
     """Flash attention for B independent sequences over one page pool.
 
     The serving-path kernel: each batch slot names its own page chain
     (vLLM-style), lengths differ per slot, and empty slots (n_pages=0) are
     skipped by the dynamic loop bound. Slots with zero pages return zeros
-    (lse=-inf), so inactive continuous-batching slots are free."""
+    (lse=-inf), so inactive continuous-batching slots are free.
+
+    head_group=G > 1 supports head_dim < 128 (e.g. the GPT-2 shape's 64):
+    pools store G heads per 128-lane page block ([.. | head g | ..] along
+    the last dim; sidecars concat per head along tokens), and the kernel
+    runs G per-head online softmaxes via lane masks (see _batched_kernel).
+    """
     B, H, Sq, D = q.shape
-    n_slots, H2, Pp, D2 = k_data.shape
-    assert H2 == H and D2 == D
+    G = head_group
+    n_slots, HG, Pp, GD = k_data.shape
+    assert HG == H // G and GD == G * D, (k_data.shape, q.shape, G)
     vpb = 8 // bits
     P = Pp * vpb
-    n_pages_max = page_tables.shape[1]
     sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
-    if TQ is None or D % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
+    if TQ is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
+        if G > 1:  # ungroup for the XLA fallback
+            k_data, v_data = degroup_pool(k_data, G), degroup_pool(v_data, G)
+            k_scale = degroup_sidecar(k_scale, G)
+            k_zp = degroup_sidecar(k_zp, G)
+            v_scale = degroup_sidecar(v_scale, G)
+            v_zp = degroup_sidecar(v_zp, G)
         return _batched_fallback(q, page_tables, page_tokens, n_pages,
                                  k_data, k_scale, k_zp, v_data, v_scale,
                                  v_zp, bits, sm, return_lse)
 
-    ks3 = k_scale[:, :, None, :]
-    kz3 = k_zp[:, :, None, :]
-    vs3 = v_scale[:, :, None, :]
-    vz3 = v_zp[:, :, None, :]
+    if G > 1:  # group q heads into lanes: [B, H/G, Sq, G*D]
+        qk = (q.reshape(B, HG, G, Sq, D).transpose(0, 1, 3, 2, 4)
+              .reshape(B, HG, Sq, GD))
+    else:
+        qk = q
+    # sidecar DMA blocks are [G, P]: head g's row g (kernel slices sublanes)
+    ks3 = k_scale.reshape(n_slots, HG, G, P)
+    kz3 = k_zp.reshape(n_slots, HG, G, P)
+    vs3 = v_scale.reshape(n_slots, HG, G, P)
+    vz3 = v_zp.reshape(n_slots, HG, G, P)
 
     kernel = functools.partial(_batched_kernel, bits=bits, D=D, P=P,
-                               sm_scale=sm)
+                               sm_scale=sm, G=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, H, Sq // TQ),
+        grid=(B, HG, Sq // TQ),
         in_specs=[
-            pl.BlockSpec((1, 1, TQ, D), lambda b, h, i, *_: (b, h, i, 0),
+            pl.BlockSpec((1, 1, TQ, GD), lambda b, h, i, *_: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # k_data (HBM)
             pl.BlockSpec(memory_space=pl.ANY),
@@ -431,32 +501,39 @@ def batched_paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TQ, D), lambda b, h, i, *_: (b, h, i, 0),
+            pl.BlockSpec((1, 1, TQ, GD), lambda b, h, i, *_: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, TQ), lambda b, h, i, *_: (b, h, i, 0),
+            pl.BlockSpec((1, 1, 1, G * TQ), lambda b, h, i, *_: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Pp, D), jnp.uint8),
-            pltpu.VMEM((2, 1, P), jnp.float32),
-            pltpu.VMEM((2, 1, P), jnp.float32),
-            pltpu.VMEM((2, Pp, D), jnp.uint8),
-            pltpu.VMEM((2, 1, P), jnp.float32),
-            pltpu.VMEM((2, 1, P), jnp.float32),
+            pltpu.VMEM((2, Pp, GD), jnp.uint8),
+            pltpu.VMEM((2, G, P), jnp.float32),
+            pltpu.VMEM((2, G, P), jnp.float32),
+            pltpu.VMEM((2, Pp, GD), jnp.uint8),
+            pltpu.VMEM((2, G, P), jnp.float32),
+            pltpu.VMEM((2, G, P), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, H, Sq, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, Sq // TQ, TQ), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, HG, Sq, GD), jnp.float32),
+                   jax.ShapeDtypeStruct((B, HG, Sq // TQ, G * TQ),
+                                        jnp.float32)],
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(page_tables.astype(jnp.int32), page_tokens.astype(jnp.int32),
-      n_pages.astype(jnp.int32), q.astype(jnp.bfloat16),
+      n_pages.astype(jnp.int32), qk.astype(jnp.bfloat16),
       k_data, ks3, kz3, v_data, vs3, vz3)
-    lse = lse.reshape(B, H, Sq)
+    if G > 1:  # ungroup: [B, H/G, Sq, G*D] -> [B, H, Sq, D]
+        out = (out.reshape(B, HG, Sq, G, D).transpose(0, 1, 3, 2, 4)
+               .reshape(B, H, Sq, D))
+        lse = (lse.reshape(B, HG, Sq // TQ, G, TQ).transpose(0, 1, 3, 2, 4)
+               .reshape(B, H, Sq))
+    else:
+        lse = lse.reshape(B, H, Sq)
     return (out, lse) if return_lse else out
 
 

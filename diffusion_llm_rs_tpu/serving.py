@@ -273,6 +273,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 raise ValueError(f"page_size {self.page_size} not divisible "
                                  f"by {8 // bits} (bits={bits})")
         self.num_pages_per_slot = seq_len // self.page_size
+        # head grouping: head_dim < 128 packs G heads per 128-lane page block
+        # so the paged kernel applies at the GPT-2 shape (head_dim 64)
+        Hd, H = cfg.head_dim, cfg.num_attention_heads
+        if Hd % 128 == 0:
+            self.head_group = 1
+        elif 128 % Hd == 0 and H % (128 // Hd) == 0:
+            self.head_group = 128 // Hd
+        else:
+            self.head_group = 1
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed)
         self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
 
@@ -284,13 +293,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
         cfg = self.cfg
         n = cfg.num_layers * self.num_slots * self.num_pages_per_slot
         H, Hd, P = cfg.num_attention_heads, cfg.head_dim, self.page_size
+        G = self.head_group
+        HG = H // G
         return {
-            "k_data": jnp.zeros((n, H, P // vpb, Hd), jnp.uint8),
-            "v_data": jnp.zeros((n, H, P // vpb, Hd), jnp.uint8),
-            "k_scale": jnp.ones((n, H, P), jnp.float32),
-            "k_zp": jnp.zeros((n, H, P), jnp.float32),
-            "v_scale": jnp.ones((n, H, P), jnp.float32),
-            "v_zp": jnp.zeros((n, H, P), jnp.float32),
+            "k_data": jnp.zeros((n, HG, P // vpb, G * Hd), jnp.uint8),
+            "v_data": jnp.zeros((n, HG, P // vpb, G * Hd), jnp.uint8),
+            "k_scale": jnp.ones((n, HG, G * P), jnp.float32),
+            "k_zp": jnp.zeros((n, HG, G * P), jnp.float32),
+            "v_scale": jnp.ones((n, HG, G * P), jnp.float32),
+            "v_zp": jnp.zeros((n, HG, G * P), jnp.float32),
         }
 
     def _build_step(self) -> Callable:
@@ -318,12 +329,26 @@ class PagedContinuousBatcher(ContinuousBatcher):
                           ).astype(jnp.int32)        # valid tokens per page
             pools = {b: dict(p) for b, p in pools.items()}
 
+            G = self.head_group
+            HG = H // G
+
             def attend_fn(li, q, k, v, mask):
                 del mask  # page/token validity is carried by nt/npg
 
                 def to_pages(z):  # [B, S, H, Hd] -> [B*nps, H, P, Hd]
                     z = z.transpose(0, 2, 1, 3).reshape(B, H, nps, P, Hd)
                     return z.transpose(0, 2, 1, 3, 4).reshape(B * nps, H, P, Hd)
+
+                def group_pages(d):  # [N, H, Pp, Hd] -> [N, HG, Pp, G*Hd]
+                    if G == 1:
+                        return d
+                    N, _, Pp_, _ = d.shape
+                    return (d.reshape(N, HG, G, Pp_, Hd)
+                            .transpose(0, 1, 3, 2, 4)
+                            .reshape(N, HG, Pp_, G * Hd))
+
+                def group_sidecar(s):  # [N, H, P] -> [N, HG, G*P]
+                    return s if G == 1 else s.reshape(s.shape[0], HG, G * P)
 
                 kp, vp = to_pages(k), to_pages(v)
                 off = li * B * nps
@@ -333,18 +358,21 @@ class PagedContinuousBatcher(ContinuousBatcher):
                     for name, pages in (("k", kp), ("v", vp)):
                         d, s, z = _quantize_pages(pages, bits)
                         pool[f"{name}_data"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_data"], d, (off, 0, 0, 0))
+                            pool[f"{name}_data"], group_pages(d),
+                            (off, 0, 0, 0))
                         pool[f"{name}_scale"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_scale"], s, (off, 0, 0))
+                            pool[f"{name}_scale"], group_sidecar(s),
+                            (off, 0, 0))
                         pool[f"{name}_zp"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_zp"], z, (off, 0, 0))
+                            pool[f"{name}_zp"], group_sidecar(z),
+                            (off, 0, 0))
                     npg = jnp.where(active & (slot_bits == bits),
                                     nps_actual, 0).astype(jnp.int32)
                     parts.append(batched_paged_attention(
                         q.transpose(0, 2, 1, 3), pt_const[li], nt, npg,
                         pool["k_data"], pool["k_scale"], pool["k_zp"],
                         pool["v_data"], pool["v_scale"], pool["v_zp"],
-                        bits=bits, return_lse=True))
+                        bits=bits, return_lse=True, head_group=G))
                 out = merge_partials(parts)          # [B, H, S, Hd] f32
                 return out.transpose(0, 2, 1, 3)
 

@@ -231,3 +231,98 @@ def test_batched_attend_all_inactive():
     q = jnp.ones((2, H, 8, D), jnp.float32)
     out = cache.batched_attend([None, None], q)
     np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# head grouping (head_dim < 128)
+# ---------------------------------------------------------------------------
+
+
+def _grouped_pools_from_dense(kf, vf, bits, P, G):
+    """Quantize dense K/V [H, S, D] per token per head and lay out grouped
+    pools [n_pages, H/G, P/vpb, G*D] + sidecars [n_pages, H/G, G*P]."""
+    from diffusion_llm_rs_tpu.cache.paged import quantize_page
+
+    H, S, D = kf.shape
+    HG = H // G
+    nps = S // P
+
+    def build(x):
+        d, s, z = quantize_page(
+            x.reshape(H, nps, P, D).transpose(1, 0, 2, 3)
+            .reshape(nps * H, P, D), bits)          # [nps*H, P/vpb, D]
+        Pp = P // (8 // bits)
+        d = (d.reshape(nps, HG, G, Pp, D).transpose(0, 1, 3, 2, 4)
+             .reshape(nps, HG, Pp, G * D))
+        s = s.reshape(nps, HG, G * P)
+        z = z.reshape(nps, HG, G * P)
+        return d, s, z
+
+    kd, ks, kz = build(kf)
+    vd, vs, vz = build(vf)
+    return kd, ks, kz, vd, vs, vz
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_batched_grouped_matches_ungrouped_fallback(bits):
+    """head_group=2 kernel (head_dim 64) == the ungrouped XLA fallback."""
+    B, H, Sq, D, P, G = 1, 2, 32, 64, 128, 2
+    S = 256
+    rng = np.random.default_rng(5)
+    kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)).astype(np.float32))
+
+    kd, ks, kz, vd, vs, vz = _grouped_pools_from_dense(kf, vf, bits, P, G)
+    nps = S // P
+    pt = jnp.arange(nps, dtype=jnp.int32)[None, :]
+    nt = jnp.full((B, nps), P, jnp.int32)
+    npg = jnp.full((B,), nps, jnp.int32)
+
+    out, lse = ppa.batched_paged_attention(
+        q, pt, nt, npg, kd, ks, kz, vd, vs, vz, bits=bits,
+        return_lse=True, head_group=G)
+    # ungrouped reference over the identical quantized values
+    ref, ref_lse = ppa._batched_fallback(
+        q, pt, nt, npg,
+        ppa.degroup_pool(kd, G), ppa.degroup_sidecar(ks, G),
+        ppa.degroup_sidecar(kz, G),
+        ppa.degroup_pool(vd, G), ppa.degroup_sidecar(vs, G),
+        ppa.degroup_sidecar(vz, G),
+        bits, 1.0 / math.sqrt(D), return_lse=True)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_batched_grouped_partial_and_inactive():
+    """Grouped kernel honors per-slot page counts and partial last pages."""
+    B, H, Sq, D, P, G = 2, 2, 8, 64, 128, 2
+    S = 256
+    rng = np.random.default_rng(6)
+    kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)).astype(np.float32))
+
+    kd, ks, kz, vd, vs, vz = _grouped_pools_from_dense(kf, vf, 4, P, G)
+    nps = S // P
+    # slot 0: 1.5 pages valid; slot 1: inactive
+    pt = jnp.asarray([[0, 1], [0, 0]], jnp.int32)
+    nt = jnp.asarray([[P, P // 2], [0, 0]], jnp.int32)
+    npg = jnp.asarray([2, 0], jnp.int32)
+
+    out, lse = ppa.batched_paged_attention(
+        q, pt, nt, npg, kd, ks, kz, vd, vs, vz, bits=4,
+        return_lse=True, head_group=G)
+    ref = ppa._batched_fallback(
+        q, pt, nt, npg,
+        ppa.degroup_pool(kd, G), ppa.degroup_sidecar(ks, G),
+        ppa.degroup_sidecar(kz, G),
+        ppa.degroup_pool(vd, G), ppa.degroup_sidecar(vs, G),
+        ppa.degroup_sidecar(vz, G),
+        4, 1.0 / math.sqrt(D))
+    rel = float(jnp.linalg.norm(out[0] - ref[0]) / jnp.linalg.norm(ref[0]))
+    assert rel < 2e-2, rel
+    assert np.all(np.asarray(out[1]) == 0.0)        # inactive slot
+    assert np.all(np.asarray(lse[1]) == ppa.NEG_INF)

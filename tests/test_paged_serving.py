@@ -140,3 +140,42 @@ def test_paged_batcher_inactive_slots_preserved():
     b.submit(Request("solo", seq_len=8, num_steps=2))
     b.step()
     np.testing.assert_array_equal(np.asarray(b.x[1]), x_before)
+
+
+def test_paged_step_grouped_heads_matches_reference():
+    """head_dim 64 -> head_group=2: the grouped-pool kernel path end-to-end
+    equals the fake-quant reference (same pin as the ungrouped test)."""
+    seed, steps = 11, 2  # decode phase at t=1 -> decode_bits=4
+    cfg = DiffusionConfig.tiny(vocab_size=128, hidden_size=128,
+                               num_attention_heads=2,
+                               max_sequence_length=128)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=128,
+                               page_size=128, seed=seed)
+    assert b.head_group == 2
+    bits = cfg.quant_config.decode_bits
+    b.submit(Request("r", seq_len=128, num_steps=steps))
+    b.step()
+    x_paged = np.asarray(b.x[0])
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    noise = jax.random.normal(sub, (128, cfg.hidden_size), jnp.float32)
+    x0 = jnp.zeros((2, 128, cfg.hidden_size), jnp.float32).at[0].set(noise)
+    key, step_key = jax.random.split(key)
+    t = jnp.array([steps - 1, 0], jnp.int32)
+
+    def fake_quant(z):
+        B, S, H, Hd = z.shape
+        zz = z.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+        d, s, zp = quantize_page(zz, bits)
+        out = dequantize_page(d, s, zp, bits)
+        return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
+
+    def ref_attend(li, q, k, v, mask):
+        return dn.attention(q, fake_quant(k), fake_quant(v), None)
+
+    eps = dn.denoiser_forward(params, cfg, x0, t, attend_fn=ref_attend)
+    x_ref = p_sample(b.schedule, x0, t, eps, step_key)
+    np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
+                               rtol=2e-3, atol=2e-3)
