@@ -98,13 +98,17 @@ class Engine:
     # ------------------------------------------------------------------
 
     def quantize_weights(self, bits: int, kernel_layout: bool = True,
-                         method: str = "int") -> None:
+                         method: str = "int",
+                         calib_texts: Optional[Sequence[str]] = None) -> None:
         """Weight-only quantization of all large matrices (GPTQ-style groups
         along the contraction axis, `quantization/src/types.rs:112-132`).
 
-        method="int" packs 1/2/4/8-bit integers; method="fp8" stores
-        float8_e4m3 with a per-tensor scale (the reference's
-        `QuantizationType::Float8`, `quantization/src/quantize.rs:66`).
+        method="int" packs 1/2/4/8-bit integers (RTN grids); method="gptq"
+        runs the real error-compensated GPTQ algorithm (`quant/gptq.py`) on
+        the matmul weights, calibrated on `calib_texts` (a built-in seed
+        corpus if omitted), honoring the config's desc_act/true_sequential;
+        method="fp8" stores float8_e4m3 with a per-tensor scale (the
+        reference's `QuantizationType::Float8`, `quantization/src/quantize.rs:66`).
         With kernel_layout (default), 2-D int-quantized weights are repacked
         once into the Pallas fused-matmul layout (`ops.pallas_matmul.prepare`).
         """
@@ -126,10 +130,31 @@ class Engine:
             self._weight_bits = 8
             return
 
-        self.params = quantize_tree(
-            self.params, bits,
-            symmetric=self.config.weight_quant.sym,
-            group_size=self.config.weight_quant.group_size)
+        if method == "gptq":
+            from diffusion_llm_rs_tpu.quant.gptq import (gptq_quantize_tree,
+                                                         make_calib_batches)
+            texts = list(calib_texts) if calib_texts else [
+                "the quick brown fox jumps over the lazy dog",
+                "diffusion language models denoise token embeddings",
+                "quantized key value caches keep memory small",
+            ]
+            token_batches = [self.tokenizer.encode(s) for s in texts]
+            token_batches = [b for b in token_batches if len(b) >= 2]
+            batches = make_calib_batches(self.params, self.config,
+                                         self.schedule, token_batches,
+                                         jax.random.PRNGKey(0))
+            self.params = gptq_quantize_tree(self.params, self.config,
+                                             batches, bits=bits)
+            # non-matmul lookup tables (tok_embed) still quantize by RTN
+            self.params = quantize_tree(
+                self.params, bits,
+                symmetric=self.config.weight_quant.sym,
+                group_size=self.config.weight_quant.group_size)
+        else:
+            self.params = quantize_tree(
+                self.params, bits,
+                symmetric=self.config.weight_quant.sym,
+                group_size=self.config.weight_quant.group_size)
         if kernel_layout:
             act_bits = self.config.weight_quant.act_bits
 

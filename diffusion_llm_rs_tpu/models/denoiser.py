@@ -158,6 +158,8 @@ def denoiser_forward(
     return_hidden: bool = False,
     cached_qkv=None,  # list per layer of (QuantKV k, QuantKV v) — packed path
     attend_fn=None,   # (layer_idx, q, k, v, mask) -> attn_out, all [B,S,H,Hd]
+    tap=None,         # (param_path, x) called with each linear's INPUT —
+                      # calibration hook (GPTQ Hessian accumulation)
 ):
     """Predict noise; optionally consume cached K/V and emit fresh K/V.
 
@@ -175,10 +177,14 @@ def denoiser_forward(
     H = cfg.num_attention_heads
     dtype = x.dtype
 
+    if tap is None:
+        tap = lambda name, val: None
     temb = timestep_embedding(t, D)
     tm = params["time_mlp"]
-    temb = linear(linear(temb.astype(dtype), tm["w1"], tm["b1"],
-                         activation="gelu"), tm["w2"], tm["b2"])
+    tap("time_mlp/w1", temb)
+    t_in = linear(temb.astype(dtype), tm["w1"], tm["b1"], activation="gelu")
+    tap("time_mlp/w2", t_in)
+    temb = linear(t_in, tm["w2"], tm["b2"])
     h = x + params["pos_embed"][:S].astype(dtype)[None] + temb[:, None, :]
 
     mask = None
@@ -189,6 +195,7 @@ def denoiser_forward(
     for li, blk in enumerate(params["blocks"]):
         hn = layer_norm(h, blk["ln1"])
         a = blk["attn"]
+        tap(f"blocks/{li}/attn/wqkv", hn)
         qkv = linear(hn, a["wqkv"])  # [B, S, 3D]
         q = _split_heads(qkv[..., :D], H)
         k = _split_heads(qkv[..., D:2 * D], H)
@@ -215,14 +222,19 @@ def denoiser_forward(
                 k = cached_kv[0][li].astype(dtype)
                 v = cached_kv[1][li].astype(dtype)
             attn_out = attention(q, k, v, mask)
-        h = h + linear(attn_out.reshape(B, S, D), a["wo"])
+        ao = attn_out.reshape(B, S, D)
+        tap(f"blocks/{li}/attn/wo", ao)
+        h = h + linear(ao, a["wo"])
 
         hn = layer_norm(h, blk["ln2"])
         m = blk["mlp"]
-        h = h + linear(linear(hn, m["w1"], m["b1"], activation="gelu"),
-                       m["w2"], m["b2"])
+        tap(f"blocks/{li}/mlp/w1", hn)
+        inner = linear(hn, m["w1"], m["b1"], activation="gelu")
+        tap(f"blocks/{li}/mlp/w2", inner)
+        h = h + linear(inner, m["w2"], m["b2"])
 
     h = layer_norm(h, params["ln_f"])
+    tap("head/w", h)
     eps = linear(h, params["head"]["w"])
 
     outs = [eps]

@@ -52,9 +52,31 @@ def init_moe_denoiser_params(key: jax.Array, cfg: DiffusionConfig,
     return params
 
 
+def load_balancing_loss(gates: jax.Array, expert: jax.Array) -> jax.Array:
+    """GShard/Switch auxiliary load-balancing loss: E * sum_e f_e * P_e,
+    where f_e is the fraction of tokens dispatched to expert e and P_e the
+    mean router probability of e. Minimized (=1) at a uniform assignment.
+    Add `aux_weight * load_balancing_loss(...)` to the training objective if
+    this MoE is ever trained — without it top-1 routing can collapse onto a
+    few experts. Inference (this repo's use) is unaffected by collapse risk.
+    """
+    E = gates.shape[-1]
+    frac = jnp.mean(jax.nn.one_hot(expert, E, dtype=jnp.float32), axis=0)
+    prob = jnp.mean(gates, axis=0)
+    return E * jnp.sum(frac * prob)
+
+
 def moe_mlp(p: Params, h: jax.Array, capacity_factor: float = 1.25,
-            ep_axis: str = None, mesh: Mesh = None) -> jax.Array:
-    """Top-1 routed expert MLP, GShard dense dispatch. h [B, S, D]."""
+            ep_axis: str = None, mesh: Mesh = None,
+            return_aux: bool = False) -> jax.Array:
+    """Top-1 routed expert MLP, GShard dense dispatch. h [B, S, D].
+
+    Built for INFERENCE of diffusion denoise steps (SURVEY.md §2.1 EP row):
+    the dense [T, E, C] dispatch tensor is O(T^2) at capacity_factor*T slots
+    total, which is fine at serving batch sizes but would need sort-based
+    ragged dispatch for large-scale MoE training. With return_aux=True, also
+    returns `load_balancing_loss` for training use.
+    """
     B, S, D = h.shape
     E = p["router"].shape[1]
     T = B * S
@@ -87,7 +109,10 @@ def moe_mlp(p: Params, h: jax.Array, capacity_factor: float = 1.25,
         ye = jax.lax.with_sharding_constraint(
             ye, NamedSharding(mesh, P(ep_axis, None, None)))
     y = jnp.einsum("tec,ecd->td", de, ye) * gate[:, None]
-    return y.reshape(B, S, D).astype(dtype)
+    out = y.reshape(B, S, D).astype(dtype)
+    if return_aux:
+        return out, load_balancing_loss(gates, expert)
+    return out
 
 
 def moe_denoiser_forward(params: Params, cfg: DiffusionConfig, x: jax.Array,

@@ -83,10 +83,16 @@ def plan_segments(num_steps: int, cfg: DiffusionConfig) -> List[Tuple[int, int, 
 
 
 def _quantize_kv_pair(kv: Tuple[jax.Array, jax.Array], bits: int):
-    """Per-token-per-head quantization of stacked K/V [L, B, S, H, Hd]."""
+    """Per-token-per-head quantization of stacked K/V [L, B, S, H, Hd]:
+    one (scale, zp) per (layer, batch, token, head) vector — a single group
+    spanning the head_dim axis. Matches the kernel path's per-token scales
+    (`ops/pallas_attention.py quantize_kv`); DESIGN.md's granularity row
+    ("ONE scale for the whole cache tensor is catastrophic") rules out any
+    coarser choice, so kernel_cache=True/False have the same numerics."""
     def q(arr):
         return quantize(arr.astype(jnp.float32), bits,
-                        granularity="channel", axis=arr.ndim - 1)
+                        granularity="group", group_size=arr.shape[-1],
+                        axis=arr.ndim - 1)
     return q(kv[0]), q(kv[1])
 
 

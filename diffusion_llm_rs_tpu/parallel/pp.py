@@ -135,11 +135,32 @@ def make_pp_forward(cfg: DiffusionConfig, mesh: Mesh, n_micro: int,
     """
     n_stages = mesh.shape[axis_name]
 
+    def fwd(stage_blocks_loc, params_rep, xx, tt):
+        B, S, D = xx.shape  # replicated inputs: global shapes
+        Bm = B // n_micro
+        dtype = xx.dtype
+        temb = dn.timestep_embedding(tt, D)
+        tm = params_rep["time_mlp"]
+        temb = linear(linear(temb.astype(dtype), tm["w1"], tm["b1"],
+                             activation="gelu"), tm["w2"], tm["b2"])
+        h = xx + params_rep["pos_embed"][:S].astype(dtype)[None] \
+            + temb[:, None, :]
+        h_micro = h.reshape(n_micro, Bm, S, D)
+        out = pipeline_blocks(stage_blocks_loc, cfg, h_micro,
+                              axis_name, n_stages)
+        h = out.reshape(B, S, D)
+        h = dn.layer_norm(h, params_rep["ln_f"])
+        return linear(h, params_rep["head"]["w"])
+
+    # shard_map + jit built once (keyed on tree structure), not per call —
+    # the sampler calls the forward every denoise step and a fresh jit
+    # wrapper each time would retrace/relower every step.
+    jitted: dict = {}
+
     def run(params, stage_blocks, x, t):
-        B, S, D = x.shape
+        B = x.shape[0]
         if B % n_micro:
             raise ValueError(f"batch {B} not divisible by {n_micro}")
-        Bm = B // n_micro
         lead = jax.tree_util.tree_leaves(stage_blocks)[0].shape[0]
         if lead != n_stages:
             raise ValueError(
@@ -147,29 +168,17 @@ def make_pp_forward(cfg: DiffusionConfig, mesh: Mesh, n_micro: int,
                 f"'{axis_name}' has {n_stages} devices")
         # blocks travel via stage_blocks; don't also replicate them
         params = {k: v for k, v in params.items() if k != "blocks"}
-
-        bspecs = jax.tree_util.tree_map(
-            lambda l: P(axis_name, *([None] * (l.ndim - 1))), stage_blocks)
-
-        def fwd(stage_blocks_loc, params_rep, xx, tt):
-            dtype = xx.dtype
-            temb = dn.timestep_embedding(tt, D)
-            tm = params_rep["time_mlp"]
-            temb = linear(linear(temb.astype(dtype), tm["w1"], tm["b1"],
-                                 activation="gelu"), tm["w2"], tm["b2"])
-            h = xx + params_rep["pos_embed"][:S].astype(dtype)[None] \
-                + temb[:, None, :]
-            h_micro = h.reshape(n_micro, Bm, S, D)
-            out = pipeline_blocks(stage_blocks_loc, cfg, h_micro,
-                                  axis_name, n_stages)
-            h = out.reshape(B, S, D)
-            h = dn.layer_norm(h, params_rep["ln_f"])
-            return linear(h, params_rep["head"]["w"])
-
-        pspecs = jax.tree_util.tree_map(lambda _: P(), params)
-        f = shard_map(fwd, mesh=mesh,
-                      in_specs=(bspecs, pspecs, P(), P()),
-                      out_specs=P(), check_vma=False)
-        return jax.jit(f)(stage_blocks, params, x, t)
+        key = (jax.tree_util.tree_structure(stage_blocks),
+               jax.tree_util.tree_structure(params),
+               tuple(l.ndim for l in jax.tree_util.tree_leaves(stage_blocks)))
+        if key not in jitted:
+            bspecs = jax.tree_util.tree_map(
+                lambda l: P(axis_name, *([None] * (l.ndim - 1))),
+                stage_blocks)
+            pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+            jitted[key] = jax.jit(shard_map(
+                fwd, mesh=mesh, in_specs=(bspecs, pspecs, P(), P()),
+                out_specs=P(), check_vma=False))
+        return jitted[key](stage_blocks, params, x, t)
 
     return run

@@ -130,19 +130,31 @@ def make_sp_forward(cfg: DiffusionConfig, mesh: Mesh,
     sharded like x. S must divide evenly by the ring size.
     """
     ring = mesh.shape[axis_name]
+    # shard_map + jit built ONCE here (not per call): the diffusion loop calls
+    # the forward every denoise step, and a fresh jit wrapper per call would
+    # retrace/relower every step (TPU compiles run 20-280s).
+    jitted: dict = {}
 
     def run(params, x, t):
         if x.shape[1] % ring:
             raise ValueError(f"seq len {x.shape[1]} not divisible by "
                              f"ring size {ring}")
-        pspecs = jax.tree_util.tree_map(lambda _: P(), params)
-        f = shard_map(
-            lambda p, xx, tt: sp_denoiser_forward(p, cfg, xx, tt, axis_name,
-                                                  ring),
-            mesh=mesh,
-            in_specs=(pspecs, P(None, axis_name, None), P()),
-            out_specs=P(None, axis_name, None),
-            check_vma=False)
-        return jax.jit(f)(params, x, t)
+        if x.shape[1] > cfg.max_sequence_length:
+            # same guard as the dense denoiser_forward: beyond max_seq the
+            # pos_embed dynamic_slice would clamp and silently reuse the tail
+            # positional rows on upper ring shards
+            raise ValueError(
+                f"sequence length {x.shape[1]} exceeds max_sequence_length "
+                f"{cfg.max_sequence_length}")
+        if "f" not in jitted:
+            jitted["f"] = jax.jit(shard_map(
+                lambda p, xx, tt: sp_denoiser_forward(p, cfg, xx, tt,
+                                                      axis_name, ring),
+                mesh=mesh,
+                in_specs=(jax.tree_util.tree_map(lambda _: P(), params),
+                          P(None, axis_name, None), P()),
+                out_specs=P(None, axis_name, None),
+                check_vma=False))
+        return jitted["f"](params, x, t)
 
     return run

@@ -219,18 +219,27 @@ def make_tp_forward(cfg: DiffusionConfig, mesh: Mesh,
     """Jitted shard_map TP forward over 'model'. Inputs x/t replicated (shard
     the batch over 'data' outside for DP x TP)."""
     tp = mesh.shape[axis_name]
+    # shard_map + jit built once per param-tree structure (not per call):
+    # the denoise loop calls this forward every step and a fresh jit wrapper
+    # each call would retrace/relower every step.
+    jitted: dict = {}
 
     def run(stacked_params, x, t):
-        specs = jax.tree_util.tree_map(
-            lambda l: P(axis_name, *([None] * (l.ndim - 1))), stacked_params)
-        f = shard_map(
-            lambda p, xx, tt: tp_denoiser_forward(
-                jax.tree_util.tree_map(lambda l: l[0], p), cfg, xx, tt, tp,
-                axis_name),
-            mesh=mesh,
-            in_specs=(specs, P(), P()),
-            out_specs=P(),
-            check_vma=False)
-        return jax.jit(f)(stacked_params, x, t)
+        key = (jax.tree_util.tree_structure(stacked_params),
+               tuple(l.ndim for l in
+                     jax.tree_util.tree_leaves(stacked_params)))
+        if key not in jitted:
+            specs = jax.tree_util.tree_map(
+                lambda l: P(axis_name, *([None] * (l.ndim - 1))),
+                stacked_params)
+            jitted[key] = jax.jit(shard_map(
+                lambda p, xx, tt: tp_denoiser_forward(
+                    jax.tree_util.tree_map(lambda l: l[0], p), cfg, xx, tt,
+                    tp, axis_name),
+                mesh=mesh,
+                in_specs=(specs, P(), P()),
+                out_specs=P(),
+                check_vma=False))
+        return jitted[key](stacked_params, x, t)
 
     return run

@@ -381,7 +381,13 @@ def quantize_tree(params, bits: int, *, min_size: int = 1024,
     and must remain indexable).
     """
 
+    def _is_quantized(l):
+        # QuantizedTensor / Fp8Tensor / ops layouts (MatmulWeight, Int8Weight)
+        return hasattr(l, "dequantize")
+
     def _q(path, leaf):
+        if _is_quantized(leaf):
+            return leaf  # already quantized (e.g. by GPTQ) — leave intact
         path_str = "/".join(
             str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         if any(e in path_str for e in exclude):
@@ -398,7 +404,7 @@ def quantize_tree(params, bits: int, *, min_size: int = 1024,
         return quantize(leaf, bits, symmetric=symmetric, granularity=granularity,
                         group_size=gs, axis=axis)
 
-    return jax.tree_util.tree_map_with_path(_q, params)
+    return jax.tree_util.tree_map_with_path(_q, params, is_leaf=_is_quantized)
 
 
 def dequantize_tree(params, dtype=jnp.float32):
