@@ -57,20 +57,59 @@ def measure(n_devices: int) -> float:
     return batch * SEQ / dt  # denoise-step tokens/s
 
 
+def measure_serving(n_devices: int) -> float:
+    """Sharded paged serving throughput (BASELINE config 5): slots + quantized
+    KV pools over 'data', Megatron weights over 'model', continuous batching
+    driven until drained."""
+    from diffusion_llm_rs_tpu.parallel.serving import ShardedPagedBatcher
+    from diffusion_llm_rs_tpu.serving import Request
+
+    devices = jax.devices()[:n_devices]
+    mesh = pm.make_mesh(devices=devices)
+    dp, tp = mesh.devices.shape
+    cfg = DiffusionConfig(num_timesteps=50, hidden_size=256,
+                          num_layers=4, num_attention_heads=max(tp, 4),
+                          vocab_size=1024, max_sequence_length=SEQ)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    num_slots = 4 * dp
+    b = ShardedPagedBatcher(params, cfg, mesh, num_slots=num_slots,
+                            seq_len=SEQ, page_size=min(SEQ, 64))
+    steps = int(os.environ.get("SCALE_SERVE_STEPS", 8))
+    # warm up compile with a throwaway request
+    b.submit(Request("warm", seq_len=SEQ, num_steps=1))
+    b.run_until_drained()
+    for i in range(2 * num_slots):
+        b.submit(Request(f"r{i}", seq_len=SEQ, num_steps=steps))
+    t0 = time.perf_counter()
+    done = b.run_until_drained()
+    dt = time.perf_counter() - t0
+    slot_steps = sum(c.steps for c in done)
+    return slot_steps * SEQ / dt  # serving step-tokens/s
+
+
 def main():
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, n_avail) if n <= n_avail]
     sizes = sorted(set(sizes))
     results = {}
+    serving = {}
     for n in sizes:
         tps = measure(n)
         results[str(n)] = round(tps, 1)
         print(f"{n} devices: {tps:,.0f} step-tokens/s", file=sys.stderr)
+        stps = measure_serving(n)
+        serving[str(n)] = round(stps, 1)
+        print(f"{n} devices: {stps:,.0f} serving step-tokens/s",
+              file=sys.stderr)
     base = results[str(sizes[0])] / sizes[0]
     eff = {k: round(v / (int(k) * base), 3) for k, v in results.items()}
+    sbase = serving[str(sizes[0])] / sizes[0]
+    seff = {k: round(v / (int(k) * sbase), 3) for k, v in serving.items()}
     print(json.dumps({"metric": "sharded denoise-step tokens/s by mesh size",
                       "tokens_per_sec": results,
                       "scaling_efficiency": eff,
+                      "serving_tokens_per_sec": serving,
+                      "serving_scaling_efficiency": seff,
                       "backend": jax.default_backend()}))
 
 

@@ -180,13 +180,16 @@ def p_sample(
     x_t: jax.Array,
     t: jax.Array,
     eps_pred: jax.Array,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
+    noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """One reverse step x_t -> x_{t-1} (`diffuse-llm-rs/src/lib.rs:1152-1215`).
 
     Standard DDPM posterior with eps-prediction (see module docstring for the
     deviation from the reference's garbled coefficients). Langevin noise is
-    added except at t=0 (`lib.rs:1199-1205`), per-sample.
+    added except at t=0 (`lib.rs:1199-1205`), per-sample. Pass `noise`
+    directly (e.g. per-slot noise in the serving batchers, where batch
+    membership must not perturb other slots' streams) or a `key`.
     """
     t = jnp.clip(t, 0, schedule.num_timesteps - 1)
     beta_t = _bcast(schedule.betas[t], x_t)
@@ -194,7 +197,10 @@ def p_sample(
     sqrt_1m_abar = _bcast(schedule.sqrt_one_minus_alpha_bars[t], x_t)
     mean = (x_t - beta_t / sqrt_1m_abar * eps_pred) * jax.lax.rsqrt(alpha_t)
     var = _bcast(schedule.posterior_variance[t], x_t)
-    noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    if noise is None:
+        if key is None:
+            raise ValueError("provide `noise` or a PRNG `key`")
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
     nonzero = _bcast((t > 0).astype(x_t.dtype), x_t)
     return mean + nonzero * jnp.sqrt(var) * noise
 

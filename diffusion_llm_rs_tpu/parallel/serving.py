@@ -1,0 +1,220 @@
+"""Sharded paged serving: continuous batching over a ('data','model') mesh.
+
+BASELINE.json config 5 end-to-end ("multi-host sharded weights + quantized
+KV-cache, continuous batching"): the TPU-native realization of the
+reference's intended multi-node serving story — `SyncManager` rank/world_size
+doc semantics (`diffuse-llm-rs/src/lib.rs:406-445`) + the NS-Router's shard
+bookkeeping (`diffusion_prefill/src/router.rs:34-39`) — as ONE jitted
+shard_map step over a GSPMD mesh:
+
+  - batch slots and their quantized KV page pools shard over 'data': each
+    data shard owns B/dp slots and their pages (pages are slot-major in the
+    pool's page axis, so the shard boundary never splits a slot)
+  - weights shard over 'model' (Megatron TP, `parallel/tp.py`): attention is
+    head-local, so each shard's paged-attention kernel runs unmodified on its
+    own H/tp heads and the pools' head-group axis shards over 'model' too
+  - per-slot Langevin noise comes from per-slot PRNG keys, so the sharded
+    batcher computes bit-identical slot trajectories to the single-device
+    `PagedContinuousBatcher` (up to TP psum reassociation) — the parity test
+    in tests/test_sharded_serving.py pins this
+
+The host scheduler loop (admission/retirement) is unchanged from
+`serving.ContinuousBatcher`; on a real multi-host pod each host runs this
+same program under `jax.distributed.initialize` with its own process feeding
+the globally-sharded arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from diffusion_llm_rs_tpu.config import DiffusionConfig
+from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
+from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
+    batched_paged_attention, merge_partials)
+from diffusion_llm_rs_tpu.parallel.tp import place_tp_params, tp_denoiser_forward
+from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher,
+                                          _quantize_pages)
+
+
+class ShardedPagedBatcher(PagedContinuousBatcher):
+    """`PagedContinuousBatcher` with slots/pools over 'data', weights over
+    'model' — one jitted sharded step (BASELINE config 5)."""
+
+    def __init__(self, params, cfg: DiffusionConfig, mesh: Mesh,
+                 schedule: Optional[DiffusionSchedule] = None,
+                 num_slots: int = 8, seq_len: int = 64, seed: int = 0,
+                 page_size: Optional[int] = None):
+        self.mesh = mesh
+        self.dp = mesh.shape["data"]
+        self.tp = mesh.shape["model"]
+        if num_slots % self.dp:
+            raise ValueError(f"num_slots {num_slots} not divisible by data "
+                             f"axis {self.dp}")
+        if cfg.num_attention_heads % self.tp:
+            raise ValueError(f"heads {cfg.num_attention_heads} not divisible "
+                             f"by model axis {self.tp}")
+        super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
+                         page_size)
+        HG = cfg.num_attention_heads // self.head_group
+        if HG % self.tp:
+            raise ValueError(f"head groups {HG} not divisible by model axis "
+                             f"{self.tp}")
+        # step-fn params: Megatron-split, stacked on a leading 'model' axis
+        self.params = place_tp_params(params, mesh)
+        # re-place slot state + pools with their mesh shardings
+        self.x = jax.device_put(
+            self.x, NamedSharding(mesh, P("data", None, None)))
+        self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+
+    def _choose_head_group(self) -> int:
+        g = super()._choose_head_group()
+        # TP shards heads: each shard's local heads must still tile into
+        # whole lane-groups
+        while g > 1 and (self.cfg.num_attention_heads // self.tp) % g:
+            g //= 2
+        return g
+
+    def _make_pool(self, bits: int) -> Dict[str, jax.Array]:
+        pool = super()._make_pool(bits)
+        if not hasattr(self, "mesh"):  # during super().__init__
+            return pool
+        mesh = self.mesh
+
+        def place(a):
+            spec = P("data", "model", *([None] * (a.ndim - 2)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return {k: place(v) for k, v in pool.items()}
+
+    def _build_step(self) -> Callable:
+        cfg, schedule = self.cfg, self.schedule
+        mesh, dp, tp = self.mesh, self.dp, self.tp
+        B, S = self.num_slots, self.seq_len
+        B_loc = B // dp
+        Pg, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
+        H, Hd = cfg.num_attention_heads, cfg.head_dim
+        H_loc = H // tp
+        L = cfg.num_layers
+        G = self.head_group
+        HG_loc = H_loc // G
+        slot_bits_fn = self._slot_bits
+        # local page id of (slot b, layer li, page j) = (b*L + li)*nps + j —
+        # slot-major, so the global page axis shards contiguously over 'data'
+        pt_local = jnp.asarray(
+            ((np.arange(B_loc)[None, :, None] * L +
+              np.arange(L)[:, None, None]) * nps +
+             np.arange(nps)[None, None, :]), jnp.int32)     # [L, B_loc, nps]
+
+        def local_step(params_stacked, x, t_vec, active, seq_lens,
+                       total_steps, slot_keys, pools):
+            params_local = jax.tree_util.tree_map(lambda l: l[0],
+                                                  params_stacked)
+            t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
+            slot_bits = slot_bits_fn(t_clamped, total_steps)
+            nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
+            page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
+            nt = jnp.clip(seq_lens[:, None] - page_idx * Pg, 0, Pg
+                          ).astype(jnp.int32)
+            pools = {b: dict(p) for b, p in pools.items()}
+
+            def attend_fn(li, q, k, v, mask):
+                del mask
+
+                def to_pages(z):  # [B_loc, S, H_loc, Hd] -> pages
+                    z = z.transpose(0, 2, 1, 3).reshape(B_loc, H_loc, nps,
+                                                        Pg, Hd)
+                    return z.transpose(0, 2, 1, 3, 4).reshape(
+                        B_loc * nps, H_loc, Pg, Hd)
+
+                def group_pages(d):  # [N, H_loc, Pp, Hd] -> [N, HG, Pp, G*Hd]
+                    if G == 1:
+                        return d
+                    N, _, Pp_, _ = d.shape
+                    return (d.reshape(N, HG_loc, G, Pp_, Hd)
+                            .transpose(0, 1, 3, 2, 4)
+                            .reshape(N, HG_loc, Pp_, G * Hd))
+
+                def group_sidecar(s):  # [N, H_loc, P] -> [N, HG, G*P]
+                    return s if G == 1 else s.reshape(s.shape[0], HG_loc,
+                                                      G * Pg)
+
+                kp, vp = to_pages(k), to_pages(v)
+                parts = []
+                for bits in buckets:
+                    pool = pools[bits]
+                    vpb = 8 // bits
+                    for name, pages in (("k", kp), ("v", vp)):
+                        d, s, z = _quantize_pages(pages, bits)
+                        d = group_pages(d)
+                        s, z = group_sidecar(s), group_sidecar(z)
+                        # write layer li's rows: page axis viewed [B_loc, L*nps]
+                        dat = pool[f"{name}_data"].reshape(
+                            B_loc, L * nps, HG_loc, Pg // vpb, G * Hd)
+                        dat = dat.at[:, li * nps:(li + 1) * nps].set(
+                            d.reshape(B_loc, nps, HG_loc, Pg // vpb, G * Hd))
+                        pool[f"{name}_data"] = dat.reshape(
+                            B_loc * L * nps, HG_loc, Pg // vpb, G * Hd)
+                        for sc, val in (("scale", s), ("zp", z)):
+                            arr = pool[f"{name}_{sc}"].reshape(
+                                B_loc, L * nps, HG_loc, G * Pg)
+                            arr = arr.at[:, li * nps:(li + 1) * nps].set(
+                                val.reshape(B_loc, nps, HG_loc, G * Pg))
+                            pool[f"{name}_{sc}"] = arr.reshape(
+                                B_loc * L * nps, HG_loc, G * Pg)
+                    npg = jnp.where(active & (slot_bits == bits),
+                                    nps_actual, 0).astype(jnp.int32)
+                    parts.append(batched_paged_attention(
+                        q.transpose(0, 2, 1, 3), pt_local[li], nt, npg,
+                        pool["k_data"], pool["k_scale"], pool["k_zp"],
+                        pool["v_data"], pool["v_scale"], pool["v_zp"],
+                        bits=bits, return_lse=True, head_group=G))
+                out = merge_partials(parts)      # [B_loc, H_loc, S, Hd]
+                return out.transpose(0, 2, 1, 3)
+
+            eps = tp_denoiser_forward(params_local, cfg, x, t_clamped, tp,
+                                      "model", attend_fn=attend_fn)
+            noise = jax.vmap(
+                lambda kk: jax.random.normal(kk, (S, cfg.hidden_size),
+                                             x.dtype))(slot_keys)
+            x_next = p_sample(schedule, x, t_clamped, eps.astype(x.dtype),
+                              noise=noise)
+            keep = active.reshape(-1, 1, 1)
+            return jnp.where(keep, x_next, x), pools
+
+        jitted: dict = {}
+
+        def run(params_stacked, x, t_vec, active, seq_lens, total_steps,
+                slot_keys, pools):
+            key = jax.tree_util.tree_structure(params_stacked)
+            if key not in jitted:
+                pspecs = jax.tree_util.tree_map(
+                    lambda l: P("model", *([None] * (l.ndim - 1))),
+                    params_stacked)
+                pool_specs = {
+                    b: {k: P("data", "model", *([None] * (a.ndim - 2)))
+                        for k, a in p.items()}
+                    for b, p in pools.items()}
+                sm = shard_map(
+                    local_step, mesh=mesh,
+                    in_specs=(pspecs, P("data", None, None), P("data"),
+                              P("data"), P("data"), P("data"),
+                              P("data", None), pool_specs),
+                    out_specs=(P("data", None, None), pool_specs),
+                    check_vma=False)
+                jitted[key] = jax.jit(sm, donate_argnums=(7,))
+            return jitted[key](params_stacked, x, t_vec, active, seq_lens,
+                               total_steps, slot_keys, pools)
+
+        return run

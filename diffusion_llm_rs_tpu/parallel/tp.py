@@ -160,12 +160,17 @@ def shard_tp_params(params, tp: int) -> List[Any]:
 
 
 def tp_denoiser_forward(params_local, cfg: DiffusionConfig, x, t, tp: int,
-                        axis_name: str = "model"):
+                        axis_name: str = "model", attend_fn=None):
     """Megatron-TP forward on LOCAL shards; psum after row-parallel matmuls.
 
     Mirrors `models.denoiser.denoiser_forward` with H/tp local heads; the
     per-layer psum boundaries realize the reference's per-layer `SyncPoint`
     markers (`diffuse-llm-rs/src/lib.rs:440-445`) as real collectives.
+
+    `attend_fn(layer_idx, q, k, v, mask)` (all [B, S, H_local, Hd]) overrides
+    the dense attention — the sharded paged-serving step injects the
+    quantized paged-KV kernel here (attention is head-local under TP, so the
+    kernel runs unmodified on the shard's own heads).
     """
     B, S, D = x.shape
     H_local = cfg.num_attention_heads // tp
@@ -179,7 +184,7 @@ def tp_denoiser_forward(params_local, cfg: DiffusionConfig, x, t, tp: int,
     h = x + params_local["pos_embed"][:S].astype(dtype)[None] \
         + temb_full[:, None, :]
 
-    for blk in params_local["blocks"]:
+    for li, blk in enumerate(params_local["blocks"]):
         hn = dn.layer_norm(h, blk["ln1"])
         a = blk["attn"]
         qkv = linear(hn, a["wqkv"])  # [B, S, 3*D/tp] — local heads
@@ -187,7 +192,10 @@ def tp_denoiser_forward(params_local, cfg: DiffusionConfig, x, t, tp: int,
         q = dn._split_heads(qkv[..., :d_loc], H_local)
         k = dn._split_heads(qkv[..., d_loc:2 * d_loc], H_local)
         v = dn._split_heads(qkv[..., 2 * d_loc:], H_local)
-        attn_out = dn.attention(q, k, v)
+        if attend_fn is not None:
+            attn_out = attend_fn(li, q, k, v, None).astype(q.dtype)
+        else:
+            attn_out = dn.attention(q, k, v)
         attn_loc = linear(attn_out.reshape(B, S, d_loc), a["wo"])
         h = h + jax.lax.psum(attn_loc, axis_name)
 

@@ -63,6 +63,9 @@ class ContinuousBatcher:
                  schedule: Optional[DiffusionSchedule] = None,
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0):
         self.params = params
+        # readout (decode_tokens) params — the sharded subclass re-packs
+        # self.params for its step fn but keeps the original tree here
+        self.readout_params = params
         self.cfg = cfg
         self.schedule = schedule or DiffusionSchedule.create(
             cfg.num_timesteps, cfg.beta_start, cfg.beta_end, cfg.beta_schedule)
@@ -85,11 +88,16 @@ class ContinuousBatcher:
         cfg, schedule = self.cfg, self.schedule
 
         @jax.jit
-        def step(params, x, t_vec, active, key):
-            # one reverse step for every slot at its own timestep
+        def step(params, x, t_vec, active, slot_keys):
+            # one reverse step for every slot at its own timestep; Langevin
+            # noise is drawn per-slot from that slot's own key, so batch
+            # membership changes never perturb other slots' streams (and a
+            # data-parallel shard of the slots computes identical values)
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
             eps = dn.denoiser_forward(params, cfg, x, t_clamped)
-            x_next = p_sample(schedule, x, t_clamped, eps, key)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, x.shape[1:], x.dtype))(slot_keys)
+            x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
             keep = active.reshape(-1, 1, 1)
             return jnp.where(keep, x_next, x)
 
@@ -121,11 +129,12 @@ class ContinuousBatcher:
             self.slot_request[slot] = req
             metrics.inc("batcher.admitted")
 
-    def _invoke_step(self, active_mask: np.ndarray, key: jax.Array) -> None:
+    def _invoke_step(self, active_mask: np.ndarray,
+                     slot_keys: jax.Array) -> None:
         """Run the jitted denoise step, updating self.x (and any cache state)."""
         self.x = self._step_fn(self.params, self.x,
                                jnp.asarray(self.t), jnp.asarray(active_mask),
-                               key)
+                               slot_keys)
 
     def step(self) -> int:
         """Admit, run ONE denoise step over the batch, retire finished slots.
@@ -136,7 +145,7 @@ class ContinuousBatcher:
         if n_active == 0:
             return 0
         self._key, sub = jax.random.split(self._key)
-        self._invoke_step(active_mask, sub)
+        self._invoke_step(active_mask, jax.random.split(sub, self.num_slots))
         finished = active_mask & (self.t == 0)
         self.t = np.where(active_mask, self.t - 1, self.t)
         metrics.inc("batcher.steps")
@@ -149,7 +158,7 @@ class ContinuousBatcher:
                     x_host = np.asarray(self.x)
                 emb = x_host[slot, : req.seq_len]
                 tokens = np.asarray(dn.decode_tokens(
-                    self.params, jnp.asarray(emb[None]))[0])
+                    self.readout_params, jnp.asarray(emb[None]))[0])
                 self.completions.append(Completion(
                     request_id=req.request_id, tokens=tokens,
                     embeddings=emb, steps=req.num_steps,
@@ -273,17 +282,20 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 raise ValueError(f"page_size {self.page_size} not divisible "
                                  f"by {8 // bits} (bits={bits})")
         self.num_pages_per_slot = seq_len // self.page_size
-        # head grouping: head_dim < 128 packs G heads per 128-lane page block
-        # so the paged kernel applies at the GPT-2 shape (head_dim 64)
-        Hd, H = cfg.head_dim, cfg.num_attention_heads
-        if Hd % 128 == 0:
-            self.head_group = 1
-        elif 128 % Hd == 0 and H % (128 // Hd) == 0:
-            self.head_group = 128 // Hd
-        else:
-            self.head_group = 1
+        self.cfg = cfg
+        self.head_group = self._choose_head_group()
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed)
         self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+
+    def _choose_head_group(self) -> int:
+        """Head grouping: head_dim < 128 packs G heads per 128-lane page
+        block so the paged kernel applies at the GPT-2 shape (head_dim 64)."""
+        Hd, H = self.cfg.head_dim, self.cfg.num_attention_heads
+        if Hd % 128 == 0:
+            return 1
+        if 128 % Hd == 0 and H % (128 // Hd) == 0:
+            return 128 // Hd
+        return 1
 
     def _make_pool(self, bits: int) -> Dict[str, jax.Array]:
         """One bucket's HBM page pool (layout = `cache.paged._Pool`, with the
@@ -319,7 +331,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
              np.arange(nps)[None, :]).reshape(L, B, nps), jnp.int32)
 
         @functools.partial(jax.jit, donate_argnums=(7,))
-        def step(params, x, t_vec, active, seq_lens, total_steps, key, pools):
+        def step(params, x, t_vec, active, seq_lens, total_steps, slot_keys,
+                 pools):
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
             # phase + progressive-precision routing per slot (lib.rs:886-904)
             slot_bits = slot_bits_fn(t_clamped, total_steps)
@@ -378,13 +391,16 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
             eps = dn.denoiser_forward(params, cfg, x, t_clamped,
                                       attend_fn=attend_fn)
-            x_next = p_sample(schedule, x, t_clamped, eps, key)
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, x.shape[1:], x.dtype))(slot_keys)
+            x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
             keep = active.reshape(-1, 1, 1)
             return jnp.where(keep, x_next, x), pools
 
         return step
 
-    def _invoke_step(self, active_mask: np.ndarray, key: jax.Array) -> None:
+    def _invoke_step(self, active_mask: np.ndarray,
+                     slot_keys: jax.Array) -> None:
         seq_lens = jnp.asarray(
             [r.seq_len if r is not None else 0 for r in self.slot_request],
             jnp.int32)
@@ -393,7 +409,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.int32)
         self.x, self.pools = self._step_fn(
             self.params, self.x, jnp.asarray(self.t),
-            jnp.asarray(active_mask), seq_lens, total_steps, key, self.pools)
+            jnp.asarray(active_mask), seq_lens, total_steps, slot_keys,
+            self.pools)
 
     def cache_memory_bytes(self) -> int:
         """HBM bytes held by the page pools (packed data + sidecars) — the

@@ -90,6 +90,9 @@ def test_paged_step_matches_fake_quant_reference(steps, expected_phase_bits):
     noise = jax.random.normal(sub, (8, cfg.hidden_size), jnp.float32)
     x0 = jnp.zeros((2, 8, cfg.hidden_size), jnp.float32).at[0].set(noise)
     key, step_key = jax.random.split(key)
+    slot_keys = jax.random.split(step_key, 2)   # per-slot Langevin noise
+    step_noise = jnp.stack([jax.random.normal(k, (8, cfg.hidden_size))
+                            for k in slot_keys])
     t = jnp.array([steps - 1, 0], jnp.int32)
 
     def fake_quant(z):  # [B, S, H, Hd] -> quantize/dequantize round trip
@@ -103,7 +106,7 @@ def test_paged_step_matches_fake_quant_reference(steps, expected_phase_bits):
         return dn.attention(q, fake_quant(k), fake_quant(v), None)
 
     eps = dn.denoiser_forward(params, cfg, x0, t, attend_fn=ref_attend)
-    x_ref = p_sample(b.schedule, x0, t, eps, step_key)
+    x_ref = p_sample(b.schedule, x0, t, eps, noise=step_noise)
     np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
                                rtol=1e-4, atol=1e-4)
 
@@ -163,6 +166,9 @@ def test_paged_step_grouped_heads_matches_reference():
     noise = jax.random.normal(sub, (128, cfg.hidden_size), jnp.float32)
     x0 = jnp.zeros((2, 128, cfg.hidden_size), jnp.float32).at[0].set(noise)
     key, step_key = jax.random.split(key)
+    slot_keys = jax.random.split(step_key, 2)   # per-slot Langevin noise
+    step_noise = jnp.stack([jax.random.normal(k, (128, cfg.hidden_size))
+                            for k in slot_keys])
     t = jnp.array([steps - 1, 0], jnp.int32)
 
     def fake_quant(z):
@@ -176,6 +182,6 @@ def test_paged_step_grouped_heads_matches_reference():
         return dn.attention(q, fake_quant(k), fake_quant(v), None)
 
     eps = dn.denoiser_forward(params, cfg, x0, t, attend_fn=ref_attend)
-    x_ref = p_sample(b.schedule, x0, t, eps, step_key)
+    x_ref = p_sample(b.schedule, x0, t, eps, noise=step_noise)
     np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
                                rtol=2e-3, atol=2e-3)
