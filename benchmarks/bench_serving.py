@@ -42,6 +42,8 @@ HEAD_DIM = int(os.environ.get("SERVE_HEAD_DIM", 128 if PAGED else 64))
 PAGE = int(os.environ.get("SERVE_PAGE", min(SEQ, 128)))
 # 0 = bf16 weights; 4/8 = int-quantized weights on the decoded int8-MXU path
 WBITS = int(os.environ.get("SERVE_WBITS", 0))
+# SERVE_SALIENCE=1: per-page attention-mass bit routing (BASELINE config 4)
+SALIENCE = os.environ.get("SERVE_SALIENCE", "0") == "1"
 
 
 def main():
@@ -69,7 +71,8 @@ def main():
             _prep, params, is_leaf=lambda l: isinstance(l, QuantizedTensor))
     if PAGED:
         b = PagedContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ,
-                                   page_size=PAGE)
+                                   page_size=PAGE,
+                                   salience_routing=SALIENCE)
     else:
         b = ContinuousBatcher(params, cfg, num_slots=SLOTS, seq_len=SEQ)
 
@@ -88,8 +91,11 @@ def main():
     total_steps = sum(c.steps for c in done)
     lat = [c.latency_s for c in done]
     print(json.dumps({
-        "metric": ("paged-KV continuous batching throughput" if PAGED
+        "metric": ("salience-routed paged-KV continuous batching throughput"
+                   if PAGED and SALIENCE else
+                   "paged-KV continuous batching throughput" if PAGED
                    else "continuous batching throughput"),
+        "salience_routing": SALIENCE,
         "value": round(total_tokens / dt, 1),
         "unit": "gen tokens/s",
         "requests": len(done),

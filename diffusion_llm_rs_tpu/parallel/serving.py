@@ -41,11 +41,9 @@ except ImportError:  # older jax
 
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
-from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
-    batched_paged_attention, merge_partials)
 from diffusion_llm_rs_tpu.parallel.tp import place_tp_params, tp_denoiser_forward
 from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher,
-                                          _quantize_pages)
+                                          _paged_attend_factory)
 
 
 class ShardedPagedBatcher(PagedContinuousBatcher):
@@ -104,12 +102,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         B, S = self.num_slots, self.seq_len
         B_loc = B // dp
         Pg, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
-        H, Hd = cfg.num_attention_heads, cfg.head_dim
-        H_loc = H // tp
+        H_loc = cfg.num_attention_heads // tp
         L = cfg.num_layers
         G = self.head_group
-        HG_loc = H_loc // G
-        slot_bits_fn = self._slot_bits
         # local page id of (slot b, layer li, page j) = (b*L + li)*nps + j —
         # slot-major, so the global page axis shards contiguously over 'data'
         pt_local = jnp.asarray(
@@ -118,71 +113,17 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
              np.arange(nps)[None, None, :]), jnp.int32)     # [L, B_loc, nps]
 
         def local_step(params_stacked, x, t_vec, active, seq_lens,
-                       total_steps, slot_keys, pools):
+                       page_bits, slot_keys, pools, used):
             params_local = jax.tree_util.tree_map(lambda l: l[0],
                                                   params_stacked)
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
-            slot_bits = slot_bits_fn(t_clamped, total_steps)
-            nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
-            page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
-            nt = jnp.clip(seq_lens[:, None] - page_idx * Pg, 0, Pg
-                          ).astype(jnp.int32)
             pools = {b: dict(p) for b, p in pools.items()}
-
-            def attend_fn(li, q, k, v, mask):
-                del mask
-
-                def to_pages(z):  # [B_loc, S, H_loc, Hd] -> pages
-                    z = z.transpose(0, 2, 1, 3).reshape(B_loc, H_loc, nps,
-                                                        Pg, Hd)
-                    return z.transpose(0, 2, 1, 3, 4).reshape(
-                        B_loc * nps, H_loc, Pg, Hd)
-
-                def group_pages(d):  # [N, H_loc, Pp, Hd] -> [N, HG, Pp, G*Hd]
-                    if G == 1:
-                        return d
-                    N, _, Pp_, _ = d.shape
-                    return (d.reshape(N, HG_loc, G, Pp_, Hd)
-                            .transpose(0, 1, 3, 2, 4)
-                            .reshape(N, HG_loc, Pp_, G * Hd))
-
-                def group_sidecar(s):  # [N, H_loc, P] -> [N, HG, G*P]
-                    return s if G == 1 else s.reshape(s.shape[0], HG_loc,
-                                                      G * Pg)
-
-                kp, vp = to_pages(k), to_pages(v)
-                parts = []
-                for bits in buckets:
-                    pool = pools[bits]
-                    vpb = 8 // bits
-                    for name, pages in (("k", kp), ("v", vp)):
-                        d, s, z = _quantize_pages(pages, bits)
-                        d = group_pages(d)
-                        s, z = group_sidecar(s), group_sidecar(z)
-                        # write layer li's rows: page axis viewed [B_loc, L*nps]
-                        dat = pool[f"{name}_data"].reshape(
-                            B_loc, L * nps, HG_loc, Pg // vpb, G * Hd)
-                        dat = dat.at[:, li * nps:(li + 1) * nps].set(
-                            d.reshape(B_loc, nps, HG_loc, Pg // vpb, G * Hd))
-                        pool[f"{name}_data"] = dat.reshape(
-                            B_loc * L * nps, HG_loc, Pg // vpb, G * Hd)
-                        for sc, val in (("scale", s), ("zp", z)):
-                            arr = pool[f"{name}_{sc}"].reshape(
-                                B_loc, L * nps, HG_loc, G * Pg)
-                            arr = arr.at[:, li * nps:(li + 1) * nps].set(
-                                val.reshape(B_loc, nps, HG_loc, G * Pg))
-                            pool[f"{name}_{sc}"] = arr.reshape(
-                                B_loc * L * nps, HG_loc, G * Pg)
-                    npg = jnp.where(active & (slot_bits == bits),
-                                    nps_actual, 0).astype(jnp.int32)
-                    parts.append(batched_paged_attention(
-                        q.transpose(0, 2, 1, 3), pt_local[li], nt, npg,
-                        pool["k_data"], pool["k_scale"], pool["k_zp"],
-                        pool["v_data"], pool["v_scale"], pool["v_zp"],
-                        bits=bits, return_lse=True, head_group=G))
-                out = merge_partials(parts)      # [B_loc, H_loc, S, Hd]
-                return out.transpose(0, 2, 1, 3)
-
+            scores_acc: list = []
+            attend_fn = _paged_attend_factory(
+                cfg=cfg, B=B_loc, S=S, Pg=Pg, nps=nps, L=L, H=H_loc, G=G,
+                buckets=buckets, pt=pt_local, pools=pools,
+                page_bits=page_bits, active=active, seq_lens=seq_lens,
+                scores_acc=scores_acc, used=used)
             eps = tp_denoiser_forward(params_local, cfg, x, t_clamped, tp,
                                       "model", attend_fn=attend_fn)
             noise = jax.vmap(
@@ -191,13 +132,17 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
             x_next = p_sample(schedule, x, t_clamped, eps.astype(x.dtype),
                               noise=noise)
             keep = active.reshape(-1, 1, 1)
-            return jnp.where(keep, x_next, x), pools
+            # salience proxy is head-local: average it over 'model' so every
+            # shard (and the host) sees the full-model attention mass
+            page_scores = jax.lax.pmean(
+                jnp.mean(jnp.stack(scores_acc), axis=0), "model")
+            return jnp.where(keep, x_next, x), pools, page_scores
 
         jitted: dict = {}
 
-        def run(params_stacked, x, t_vec, active, seq_lens, total_steps,
-                slot_keys, pools):
-            key = jax.tree_util.tree_structure(params_stacked)
+        def run(params_stacked, x, t_vec, active, seq_lens, page_bits,
+                slot_keys, pools, used):
+            key = (jax.tree_util.tree_structure(params_stacked), used)
             if key not in jitted:
                 pspecs = jax.tree_util.tree_map(
                     lambda l: P("model", *([None] * (l.ndim - 1))),
@@ -207,14 +152,15 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                         for k, a in p.items()}
                     for b, p in pools.items()}
                 sm = shard_map(
-                    local_step, mesh=mesh,
+                    functools.partial(local_step, used=used), mesh=mesh,
                     in_specs=(pspecs, P("data", None, None), P("data"),
-                              P("data"), P("data"), P("data"),
+                              P("data"), P("data"), P("data", None),
                               P("data", None), pool_specs),
-                    out_specs=(P("data", None, None), pool_specs),
+                    out_specs=(P("data", None, None), pool_specs,
+                               P("data", None)),
                     check_vma=False)
                 jitted[key] = jax.jit(sm, donate_argnums=(7,))
             return jitted[key](params_stacked, x, t_vec, active, seq_lens,
-                               total_steps, slot_keys, pools)
+                               page_bits, slot_keys, pools)
 
         return run

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import time
 from collections import deque
 from typing import Callable, Deque, Dict, List, Optional, Tuple
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusion_llm_rs_tpu.cache.paged import quantize_page
+from diffusion_llm_rs_tpu.cache.salience import allocate_bits
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
@@ -243,6 +245,154 @@ def _quantize_pages(x: jax.Array, bits: int):
             s.reshape(N, H, P), z.reshape(N, H, P))
 
 
+def slot_phase_bits_np(cfg: DiffusionConfig, t: np.ndarray,
+                       total: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host (numpy) twin of `make_slot_bits_router`: per-slot (bucketed bits,
+    UNBUCKETED float target). The float target is the salience router's
+    per-slot bit BUDGET — progressive precision becomes a fractional budget
+    curve that `allocate_bits` spends across the slot's pages."""
+    t = np.asarray(t, np.int64)
+    total = np.asarray(total, np.int64)
+    qc = cfg.quant_config
+    if not cfg.use_phase_aware_quant:
+        b = float(bucket_bits(cfg.kv_quant_bits or 8))
+        bits = np.full(t.shape, b, np.int32)
+        return bits, np.full(t.shape, b, np.float32)
+    half = total // 2
+    pb = bucket_bits(qc.prefill_bits)
+    db = bucket_bits(qc.decode_bits)
+    if qc.progressive_precision:
+        lo = bucket_bits(qc.min_decode_bits)
+        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db)
+        progress = np.clip((half - t) / np.maximum(half, 1), 0.0, 1.0)
+        target = np.maximum(qc.decode_bits * (1.0 - progress) +
+                            qc.min_decode_bits * progress,
+                            float(qc.min_decode_bits))
+    else:
+        decode_widths = (db,)
+        target = np.full(t.shape, float(db), np.float64)
+    dbits = np.full(t.shape, min(decode_widths), np.int32)
+    for b in sorted(decode_widths):
+        dbits = np.where(target >= b, b, dbits)
+    bits = np.where(t > half, pb, dbits).astype(np.int32)
+    budget = np.where(t > half, float(qc.prefill_bits), target
+                      ).astype(np.float32)
+    return bits, budget
+
+
+def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
+                          nps: int, L: int, H: int, G: int, buckets,
+                          pt: jax.Array, pools, page_bits: jax.Array,
+                          active: jax.Array, seq_lens: jax.Array,
+                          scores_acc: list, used=None):
+    """Build the per-layer paged-attention callback shared by the
+    single-device and sharded serving steps (H = this shard's local heads).
+
+    Page pools are SLOT-MAJOR on the page axis — page (slot b, layer li,
+    page j) lives at row (b*L + li)*nps + j — so a data-parallel shard
+    boundary never splits a slot. Each step writes fresh K/V pages into
+    every bucket (update-then-read, `diffuse-llm-rs/src/lib.rs:907-918`),
+    then reads each page from the bucket `page_bits` routes it to: per-bucket
+    page tables are compacted with a stable argsort over the membership mask
+    and the buckets' partial attentions are lse-merged — per-PAGE mixed
+    precision inside one slot (BASELINE config 4), with uniform `page_bits`
+    reducing exactly to the phase-per-slot routing.
+
+    Appends one [B, nps] per-page attention-mass proxy per layer to
+    `scores_acc`: softmax over pages of (mean valid q) . (mean valid k of the
+    page) — the in-step salience signal
+    (`/root/reference/salience-engine/src/lib.rs:130-151` intent: importance
+    from access/attention patterns).
+    """
+    HG = H // G
+    Hd = cfg.head_dim
+    page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
+    nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
+    nt = jnp.clip(seq_lens[:, None] - page_idx * Pg, 0, Pg).astype(jnp.int32)
+    page_valid = page_idx < nps_actual[:, None]        # [B, nps]
+
+    def attend_fn(li, q, k, v, mask):
+        del mask
+
+        # ---- per-page attention-mass proxy (salience signal) -------------
+        tok_pos = (page_idx[..., None] * Pg +
+                   jnp.arange(Pg, dtype=jnp.int32)[None, None, :])  # [1,nps,Pg]
+        tok_valid = (tok_pos < seq_lens[:, None, None]).astype(jnp.float32)
+        kpage = k.reshape(B, nps, Pg, H, Hd)
+        km = (jnp.einsum("bnp,bnphd->bnhd", tok_valid, kpage) /
+              jnp.maximum(tok_valid.sum(2), 1.0)[..., None, None])
+        qvalid = (jnp.arange(S)[None, :] < seq_lens[:, None]
+                  ).astype(jnp.float32)
+        qm = (jnp.einsum("bs,bshd->bhd", qvalid, q) /
+              jnp.maximum(qvalid.sum(1), 1.0)[:, None, None])
+        logits = jnp.einsum("bhd,bnhd->bn", qm, km) / math.sqrt(Hd)
+        logits = jnp.where(page_valid, logits, -jnp.inf)
+        mass = jax.nn.softmax(logits, axis=-1)
+        scores_acc.append(jnp.where(page_valid, mass, 0.0))
+
+        def to_pages(z):  # [B, S, H, Hd] -> [B*nps, H, Pg, Hd]
+            z = z.transpose(0, 2, 1, 3).reshape(B, H, nps, Pg, Hd)
+            return z.transpose(0, 2, 1, 3, 4).reshape(B * nps, H, Pg, Hd)
+
+        def group_pages(d):  # [N, H, Pp, Hd] -> [N, HG, Pp, G*Hd]
+            if G == 1:
+                return d
+            N, _, Pp_, _ = d.shape
+            return (d.reshape(N, HG, G, Pp_, Hd)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(N, HG, Pp_, G * Hd))
+
+        def group_sidecar(s):  # [N, H, P] -> [N, HG, G*P]
+            return s if G == 1 else s.reshape(s.shape[0], HG, G * Pg)
+
+        kp, vp = to_pages(k), to_pages(v)
+        parts = []
+        for bits in buckets:
+            # Diffusion denoising attends over the SAME step's fresh K/V
+            # (whole-sequence re-encode each step, SURVEY.md §7 "paged KV +
+            # diffusion semantics") — pages in buckets no slot reads this
+            # step need not be quantized or written at all. `used` is a
+            # static host-computed bucket subset; measured 1.15x step cost
+            # for 3 buckets vs 1, so skipping dead buckets is real bandwidth.
+            if used is not None and bits not in used:
+                continue
+            pool = dict(pools[bits])
+            vpb = 8 // bits
+            for name, pages in (("k", kp), ("v", vp)):
+                d, s, z = _quantize_pages(pages, bits)
+                d = group_pages(d)
+                s, z = group_sidecar(s), group_sidecar(z)
+                # write layer li's rows: page axis viewed [B, L*nps]
+                dat = pool[f"{name}_data"].reshape(
+                    B, L * nps, HG, Pg // vpb, G * Hd)
+                dat = dat.at[:, li * nps:(li + 1) * nps].set(
+                    d.reshape(B, nps, HG, Pg // vpb, G * Hd))
+                pool[f"{name}_data"] = dat.reshape(
+                    B * L * nps, HG, Pg // vpb, G * Hd)
+                for sc, val in (("scale", s), ("zp", z)):
+                    arr = pool[f"{name}_{sc}"].reshape(B, L * nps, HG, G * Pg)
+                    arr = arr.at[:, li * nps:(li + 1) * nps].set(
+                        val.reshape(B, nps, HG, G * Pg))
+                    pool[f"{name}_{sc}"] = arr.reshape(B * L * nps, HG, G * Pg)
+            pools[bits] = pool
+            # this bucket's pages: compact members to the front (stable, so
+            # uniform routing keeps the identity order)
+            member = (page_bits == bits) & page_valid
+            order = jnp.argsort(jnp.logical_not(member), axis=1, stable=True)
+            pt_b = jnp.take_along_axis(pt[li], order, axis=1)
+            nt_b = jnp.take_along_axis(nt, order, axis=1)
+            npg = jnp.where(active, member.sum(axis=1), 0).astype(jnp.int32)
+            parts.append(batched_paged_attention(
+                q.transpose(0, 2, 1, 3), pt_b, nt_b, npg,
+                pool["k_data"], pool["k_scale"], pool["k_zp"],
+                pool["v_data"], pool["v_scale"], pool["v_zp"],
+                bits=bits, return_lse=True, head_group=G))
+        out = merge_partials(parts)              # [B, H, S, Hd] f32
+        return out.transpose(0, 2, 1, 3)
+
+    return attend_fn
+
+
 class PagedContinuousBatcher(ContinuousBatcher):
     """Continuous batching with the quantized PAGED KV cache in the hot loop.
 
@@ -271,11 +421,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def __init__(self, params, cfg: DiffusionConfig,
                  schedule: Optional[DiffusionSchedule] = None,
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0,
-                 page_size: Optional[int] = None):
+                 page_size: Optional[int] = None,
+                 salience_routing: bool = False,
+                 salience_ema: float = 0.8):
         self.page_size = page_size or min(seq_len, 64)
         if seq_len % self.page_size:
             raise ValueError(f"seq_len {seq_len} not divisible by page_size "
                              f"{self.page_size}")
+        self.salience_routing = salience_routing
+        self.salience_ema = salience_ema
         self.buckets, self._slot_bits = make_slot_bits_router(cfg)
         for bits in self.buckets:
             if self.page_size % (8 // bits):
@@ -286,6 +440,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.head_group = self._choose_head_group()
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed)
         self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+        # per-page attention-mass EMA (host side) driving salience routing
+        self.page_scores = np.full((num_slots, self.num_pages_per_slot),
+                                   1.0 / self.num_pages_per_slot, np.float32)
 
     def _choose_head_group(self) -> int:
         """Head grouping: head_dim < 128 packs G heads per 128-lane page
@@ -319,98 +476,102 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _build_step(self) -> Callable:
         cfg, schedule = self.cfg, self.schedule
         B, S = self.num_slots, self.seq_len
-        P, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
-        H, Hd = cfg.num_attention_heads, cfg.head_dim
+        Pg, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
+        H = cfg.num_attention_heads
         L = cfg.num_layers
-        slot_bits_fn = self._slot_bits
-        # page id of (layer li, slot b, page j) = (li*B + b)*nps + j — fixed
-        # ranges, so the page tables are constants and scatters are
-        # constant-offset dynamic_update_slices
+        G = self.head_group
+        # slot-major page id: (slot b, layer li, page j) -> (b*L + li)*nps + j
+        # (fixed ranges; matches the sharded batcher so a 'data' shard
+        # boundary never splits a slot)
         pt_const = jnp.asarray(
-            (np.arange(L * B)[:, None] * nps +
-             np.arange(nps)[None, :]).reshape(L, B, nps), jnp.int32)
+            ((np.arange(B)[None, :, None] * L +
+              np.arange(L)[:, None, None]) * nps +
+             np.arange(nps)[None, None, :]), jnp.int32)     # [L, B, nps]
 
-        @functools.partial(jax.jit, donate_argnums=(7,))
-        def step(params, x, t_vec, active, seq_lens, total_steps, slot_keys,
-                 pools):
+        @functools.partial(jax.jit, donate_argnums=(7,), static_argnums=(8,))
+        def step(params, x, t_vec, active, seq_lens, page_bits, slot_keys,
+                 pools, used):
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
-            # phase + progressive-precision routing per slot (lib.rs:886-904)
-            slot_bits = slot_bits_fn(t_clamped, total_steps)
-            nps_actual = ((seq_lens + P - 1) // P).astype(jnp.int32)
-            page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
-            nt = jnp.clip(seq_lens[:, None] - page_idx * P, 0, P
-                          ).astype(jnp.int32)        # valid tokens per page
             pools = {b: dict(p) for b, p in pools.items()}
-
-            G = self.head_group
-            HG = H // G
-
-            def attend_fn(li, q, k, v, mask):
-                del mask  # page/token validity is carried by nt/npg
-
-                def to_pages(z):  # [B, S, H, Hd] -> [B*nps, H, P, Hd]
-                    z = z.transpose(0, 2, 1, 3).reshape(B, H, nps, P, Hd)
-                    return z.transpose(0, 2, 1, 3, 4).reshape(B * nps, H, P, Hd)
-
-                def group_pages(d):  # [N, H, Pp, Hd] -> [N, HG, Pp, G*Hd]
-                    if G == 1:
-                        return d
-                    N, _, Pp_, _ = d.shape
-                    return (d.reshape(N, HG, G, Pp_, Hd)
-                            .transpose(0, 1, 3, 2, 4)
-                            .reshape(N, HG, Pp_, G * Hd))
-
-                def group_sidecar(s):  # [N, H, P] -> [N, HG, G*P]
-                    return s if G == 1 else s.reshape(s.shape[0], HG, G * P)
-
-                kp, vp = to_pages(k), to_pages(v)
-                off = li * B * nps
-                parts = []
-                for bits in buckets:
-                    pool = pools[bits]
-                    for name, pages in (("k", kp), ("v", vp)):
-                        d, s, z = _quantize_pages(pages, bits)
-                        pool[f"{name}_data"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_data"], group_pages(d),
-                            (off, 0, 0, 0))
-                        pool[f"{name}_scale"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_scale"], group_sidecar(s),
-                            (off, 0, 0))
-                        pool[f"{name}_zp"] = jax.lax.dynamic_update_slice(
-                            pool[f"{name}_zp"], group_sidecar(z),
-                            (off, 0, 0))
-                    npg = jnp.where(active & (slot_bits == bits),
-                                    nps_actual, 0).astype(jnp.int32)
-                    parts.append(batched_paged_attention(
-                        q.transpose(0, 2, 1, 3), pt_const[li], nt, npg,
-                        pool["k_data"], pool["k_scale"], pool["k_zp"],
-                        pool["v_data"], pool["v_scale"], pool["v_zp"],
-                        bits=bits, return_lse=True, head_group=G))
-                out = merge_partials(parts)          # [B, H, S, Hd] f32
-                return out.transpose(0, 2, 1, 3)
-
+            scores_acc: list = []
+            attend_fn = _paged_attend_factory(
+                cfg=cfg, B=B, S=S, Pg=Pg, nps=nps, L=L, H=H, G=G,
+                buckets=buckets, pt=pt_const, pools=pools,
+                page_bits=page_bits, active=active, seq_lens=seq_lens,
+                scores_acc=scores_acc, used=used)
             eps = dn.denoiser_forward(params, cfg, x, t_clamped,
                                       attend_fn=attend_fn)
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, x.shape[1:], x.dtype))(slot_keys)
             x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
             keep = active.reshape(-1, 1, 1)
-            return jnp.where(keep, x_next, x), pools
+            page_scores = jnp.mean(jnp.stack(scores_acc), axis=0)
+            return jnp.where(keep, x_next, x), pools, page_scores
 
         return step
+
+    def _admit(self) -> None:
+        before = [r is not None for r in self.slot_request]
+        super()._admit()
+        for slot, (was, req) in enumerate(zip(before, self.slot_request)):
+            if not was and req is not None:   # fresh occupant: reset salience
+                self.page_scores[slot] = 1.0 / self.num_pages_per_slot
+
+    def _route_page_bits(self, active_mask: np.ndarray) -> np.ndarray:
+        """Host-side per-page bit routing (the serving-side realization of
+        the reference's salience->precision intent, BASELINE config 4).
+
+        Phase-only mode broadcasts the slot's phase bits to all its pages
+        (exactly `make_slot_bits_router`); salience mode spends the phase
+        router's FLOAT target as a per-slot budget, allocating widths to
+        pages by attention-mass EMA via `cache.salience.allocate_bits`."""
+        t = np.maximum(self.t, 0)
+        total = np.asarray(
+            [r.num_steps if r is not None else 1 for r in self.slot_request],
+            np.int64)
+        slot_bits, budget = slot_phase_bits_np(self.cfg, t, total)
+        nps = self.num_pages_per_slot
+        page_bits = np.repeat(slot_bits[:, None], nps, axis=1)
+        if not self.salience_routing:
+            return page_bits
+        # salience never crushes a page below 2 bits: 1-bit K error perturbs
+        # LOGITS (pre-softmax), so even zero-mass pages can grab spurious
+        # attention — measured in tests/test_salience_serving.py's probe
+        opts = tuple(b for b in self.buckets if b >= 2) or self.buckets
+        for b in np.nonzero(active_mask)[0]:
+            req = self.slot_request[b]
+            n_pages = -(-req.seq_len // self.page_size)
+            page_bits[b, :n_pages] = allocate_bits(
+                self.page_scores[b, :n_pages], float(budget[b]),
+                bit_options=opts)
+        return page_bits
+
+    def _used_buckets(self, page_bits: np.ndarray,
+                      active_mask: np.ndarray) -> Tuple[int, ...]:
+        """Buckets any active slot reads this step (static jit arg): dead
+        buckets skip their quantize+write entirely — diffusion re-encodes
+        the whole sequence each step, so unwritten pages are never read."""
+        if not active_mask.any():
+            return (self.buckets[0],)
+        used = set(int(v) for v in np.unique(page_bits[active_mask]))
+        return tuple(b for b in self.buckets if b in used) or (self.buckets[0],)
 
     def _invoke_step(self, active_mask: np.ndarray,
                      slot_keys: jax.Array) -> None:
         seq_lens = jnp.asarray(
             [r.seq_len if r is not None else 0 for r in self.slot_request],
             jnp.int32)
-        total_steps = jnp.asarray(
-            [r.num_steps if r is not None else 1 for r in self.slot_request],
-            jnp.int32)
-        self.x, self.pools = self._step_fn(
+        page_bits_np = self._route_page_bits(active_mask)
+        used = self._used_buckets(page_bits_np, active_mask)
+        self.x, self.pools, scores = self._step_fn(
             self.params, self.x, jnp.asarray(self.t),
-            jnp.asarray(active_mask), seq_lens, total_steps, slot_keys,
-            self.pools)
+            jnp.asarray(active_mask), seq_lens,
+            jnp.asarray(page_bits_np, jnp.int32), slot_keys,
+            self.pools, used)
+        if self.salience_routing:
+            a = self.salience_ema
+            self.page_scores = (a * self.page_scores +
+                                (1.0 - a) * np.asarray(scores))
 
     def cache_memory_bytes(self) -> int:
         """HBM bytes held by the page pools (packed data + sidecars) — the

@@ -1,0 +1,155 @@
+"""Salience-driven per-page precision in the serving hot loop.
+
+BASELINE config 4 end-to-end (VERDICT r1 item 3): the jitted serving step
+emits a per-page attention-mass proxy; the host EMAs it and spends the phase
+router's float bit target as a per-slot budget via
+`cache.salience.allocate_bits`; pages route to their own bit bucket through
+compacted page tables + lse merge (per-PAGE mixed precision inside a slot).
+Reference intent: `/root/reference/salience-engine/src/lib.rs:130-151`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_llm_rs_tpu.cache.paged import dequantize_page, quantize_page
+from diffusion_llm_rs_tpu.cache.salience import allocate_bits
+from diffusion_llm_rs_tpu.config import DiffusionConfig
+from diffusion_llm_rs_tpu.models import denoiser as dn
+from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher, Request,
+                                          make_slot_bits_router,
+                                          slot_phase_bits_np)
+
+
+def _make(salience=True, **kw):
+    cfg = DiffusionConfig.tiny(vocab_size=128)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    return cfg, PagedContinuousBatcher(
+        params, cfg, num_slots=2, seq_len=16, page_size=4, seed=7,
+        salience_routing=salience, **kw)
+
+
+def test_slot_phase_bits_np_matches_jnp_router():
+    """The host numpy twin reproduces the jitted router's bucketed bits for
+    every timestep, and its float budget is >= the bucketed width."""
+    for progressive in (True, False):
+        cfg = DiffusionConfig.tiny()
+        cfg.quant_config.progressive_precision = progressive
+        _, fn = make_slot_bits_router(cfg)
+        for total in (2, 7, 20, 50):
+            ts = np.arange(total)
+            tot = np.full((total,), total)
+            want = np.asarray(fn(jnp.asarray(ts, jnp.int32),
+                                 jnp.asarray(tot, jnp.int32)))
+            got, budget = slot_phase_bits_np(cfg, ts, tot)
+            np.testing.assert_array_equal(got, want)
+            assert np.all(budget >= got - 1e-6)
+
+
+def test_salience_scores_update_and_normalize():
+    """Running steps with salience routing populates per-page attention-mass
+    EMAs: finite, non-negative, ~sum to 1 over the slot's valid pages."""
+    cfg, b = _make()
+    b.submit(Request("r", seq_len=16, num_steps=6))
+    for _ in range(4):
+        b.step()
+    s = b.page_scores[0]
+    assert np.all(np.isfinite(s)) and np.all(s >= 0)
+    assert abs(float(s.sum()) - 1.0) < 1e-3
+    # not still the uniform initialization: the proxy discriminates pages
+    assert float(np.ptp(s)) > 1e-6
+
+
+def test_salience_allocation_respects_budget_and_order():
+    """_route_page_bits spends the phase budget by salience: avg bits within
+    budget, most-salient page gets the widest allocation."""
+    cfg, b = _make()
+    b.submit(Request("r", seq_len=16, num_steps=4))
+    b._admit()
+    b.page_scores[0] = np.array([0.7, 0.2, 0.06, 0.04], np.float32)
+    active = b.t >= 0
+    page_bits = b._route_page_bits(active)
+    _, budget = slot_phase_bits_np(cfg, np.maximum(b.t, 0),
+                                   np.array([4, 1]))
+    assert page_bits[0].mean() <= budget[0] + 1e-6
+    assert page_bits[0, 0] == page_bits[0].max()
+    assert set(page_bits[0]).issubset(set(b.buckets))
+
+
+def test_salience_routing_drains_finite():
+    """End-to-end: mixed per-page precision (pages of one slot split across
+    buckets, lse-merged) completes requests with finite embeddings."""
+    cfg, b = _make()
+    b.submit(Request("a", seq_len=16, num_steps=8))
+    b.submit(Request("b", seq_len=8, num_steps=3))
+    done = b.run_until_drained()
+    assert sorted(c.request_id for c in done) == ["a", "b"]
+    for c in done:
+        assert np.all(np.isfinite(c.embeddings))
+
+
+def test_salience_routing_off_matches_phase_routing():
+    """salience_routing=False broadcasts phase bits per slot — identical
+    trajectories to the pre-salience batcher semantics (same step fn)."""
+    cfg, b_off = _make(salience=False)
+    params = b_off.params
+    b2 = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=16,
+                                page_size=4, seed=7, salience_routing=False)
+    for bb in (b_off, b2):
+        bb.submit(Request("x", seq_len=16, num_steps=5))
+    d1 = {c.request_id: c for c in b_off.run_until_drained()}
+    d2 = {c.request_id: c for c in b2.run_until_drained()}
+    np.testing.assert_array_equal(d1["x"].embeddings, d2["x"].embeddings)
+
+
+def test_mixed_precision_beats_uniform_at_equal_budget():
+    """The allocation principle: when attention mass concentrates on a few
+    pages (attention sinks) and V has outlier channels (real-LLM structure),
+    salience-mixed per-page bits at avg = budget reconstruct the attention
+    output better than uniform bits at the same budget.
+
+    Probed design constraint encoded here: the salience options FLOOR at 2
+    bits — 1-bit pages lose not by V error (mass-weighted, safe) but by K
+    error, which perturbs logits BEFORE the softmax so crushed pages steal
+    spurious attention mass (measured: 1-bit-floored mixed was 3x WORSE than
+    uniform; 2-bit-floored mixed is ~5x better)."""
+    key = jax.random.PRNGKey(0)
+    BH, S, Hd, P = 4, 64, 32, 8
+    n_pages = S // P
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k = jax.random.normal(k1, (BH, S, Hd))
+    ch = jnp.where(jax.random.uniform(k4, (Hd,)) < 0.1, 8.0, 1.0)
+    v = jax.random.normal(k2, (BH, S, Hd)) * ch    # outlier channels
+    # queries aligned with page 0's keys -> attention mass concentrates there
+    q = k[:, :P].mean(axis=1, keepdims=True) * 10.0 + \
+        0.05 * jax.random.normal(k3, (BH, 1, Hd))
+
+    def attn(kq, vq):
+        logits = jnp.einsum("bqd,bsd->bqs", q, kq) / np.sqrt(Hd)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bqs,bsd->bqd", p, vq)
+
+    exact = attn(k, v)
+    probs = jax.nn.softmax(
+        jnp.einsum("bqd,bsd->bqs", q, k) / np.sqrt(Hd), axis=-1)[:, 0]
+    mass = np.asarray(probs.reshape(BH, n_pages, P).sum(-1).mean(0))
+    assert mass[0] > 0.8   # the scenario: concentrated attention
+
+    def quantized_attn(bits_per_page):
+        kq, vq = [], []
+        for i, bits in enumerate(bits_per_page):
+            sl = slice(i * P, (i + 1) * P)
+            for src, dst in ((k, kq), (v, vq)):
+                d, s, z = quantize_page(src[:, sl], int(bits))
+                dst.append(dequantize_page(d, s, z, int(bits)))
+        return attn(jnp.concatenate(kq, 1), jnp.concatenate(vq, 1))
+
+    budget = 4.0
+    mixed_bits = allocate_bits(mass, budget, bit_options=(8, 4, 2))
+    assert mixed_bits.mean() <= budget
+    assert mixed_bits.max() == 8 and mixed_bits.min() == 2   # truly mixed
+    err_mixed = float(jnp.abs(quantized_attn(mixed_bits) - exact).max())
+    err_uniform = float(jnp.abs(
+        quantized_attn([int(budget)] * n_pages) - exact).max())
+    assert err_mixed < 0.5 * err_uniform, (err_mixed, err_uniform)
