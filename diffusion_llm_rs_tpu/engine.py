@@ -25,6 +25,7 @@ import numpy as np
 from diffusion_llm_rs_tpu.cache.kv_cache import KVCacheManager
 from diffusion_llm_rs_tpu.cache.memory_manager import MemoryManager
 from diffusion_llm_rs_tpu.cache.salience import SalienceEngine
+from diffusion_llm_rs_tpu.cache.suffix_tree import SuffixTree
 from diffusion_llm_rs_tpu.config import DiffusionConfig, PrefillConfig, SystemConfig
 from diffusion_llm_rs_tpu.index.anns import CompressedVector, FusionANNS, compress_rows
 from diffusion_llm_rs_tpu.models import denoiser as dn
@@ -92,6 +93,18 @@ class Engine:
         self._prefill_store: Dict[str, CompressedVector] = {}
         self._attention_masks: Dict[str, np.ndarray] = {}
         self._weight_bits: Optional[int] = None
+        # prompt/prefix cache (`diffusion_prefill/src/suffix_tree.rs:1-30`
+        # intent): per-cache-id suffix automaton over the prefilled text +
+        # the token stream it indexed, so repeated/extended prompts skip
+        # re-embedding and re-quantizing the matched prefix
+        self._prefix_index: Dict[str, Tuple[SuffixTree, List[int]]] = {}
+        self.prefill_prefix_hits = 0
+        # next-token distribution memo for the greedy generate loop (the
+        # denoiser is bidirectional, so incremental KV reuse is unsound —
+        # exact-prefix memoization is the valid reuse)
+        self._ntp_cache: Dict[Tuple[int, ...], int] = {}
+        self.generate_cache_hits = 0
+        self._samplers: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------
     # weight quantization
@@ -234,21 +247,47 @@ class Engine:
     # ------------------------------------------------------------------
 
     def prefill(self, text: str, cache_id: str = "default") -> int:
-        """Tokenize -> embed -> quantize -> cache -> salience -> route."""
+        """Tokenize -> embed -> quantize -> cache -> salience -> route.
+
+        Repeated or prefix-extended prompts reuse the prompt cache: the
+        suffix automaton over the previously prefilled text proposes a
+        match, position-aligned token comparison confirms it, and only the
+        unmatched suffix is embedded/quantized/stored (the consumption of
+        `suffix_tree` the reference documents but never wires,
+        `diffusion_prefill/src/suffix_tree.rs:1-30`). Returns the number of
+        NEW tokens processed."""
         token_ids = self.tokenizer.encode(text)
         if not token_ids:
             return 0
-        embeddings = np.asarray(dn.embed_tokens(
-            self.params, jnp.asarray([token_ids]))[0])
-        ids = [f"{cache_id}:{i}" for i in range(len(token_ids))]
-        compressed = compress_rows(embeddings,
-                                   self.prefill_config.quant_bits, ids)
-        for vec in compressed:
-            self._prefill_store[vec.id] = vec
-            self.salience.update(vec.id)
+        reuse = 0
+        indexed = self._prefix_index.get(cache_id)
+        if indexed is not None:
+            tree, old_ids = indexed
+            # automaton: longest prefix of `text` occurring in the indexed
+            # text; exact token comparison pins position-0 alignment
+            cand = tree.longest_match(text)
+            if cand > 0:
+                max_tok = min(len(token_ids), len(old_ids))
+                while reuse < max_tok and token_ids[reuse] == old_ids[reuse]:
+                    reuse += 1
+        new_ids = token_ids[reuse:]
+        self.prefill_prefix_hits += reuse
+        for i in range(reuse):   # matched prefix: refresh salience only
+            self.salience.update(f"{cache_id}:{i}")
+        if new_ids:
+            embeddings = np.asarray(dn.embed_tokens(
+                self.params, jnp.asarray([new_ids]))[0])
+            ids = [f"{cache_id}:{i}" for i in
+                   range(reuse, len(token_ids))]
+            compressed = compress_rows(embeddings,
+                                       self.prefill_config.quant_bits, ids)
+            for vec in compressed:
+                self._prefill_store[vec.id] = vec
+                self.salience.update(vec.id)
+            self.router.update_routing(compressed)
         self.salience.calculate(text)
-        self.router.update_routing(compressed)
-        return len(token_ids)
+        self._prefix_index[cache_id] = (SuffixTree(text), token_ids)
+        return len(new_ids)
 
     def get_cached_vectors(self, ids: Sequence[str]) -> List[np.ndarray]:
         """Zero-vector on miss (`diffusion_prefill/src/prefill_kv.rs:94-97`)."""
@@ -285,14 +324,26 @@ class Engine:
         return self.tokenizer.id_to_token(token_id)
 
     def generate(self, prompt: str, max_length: int = 32) -> str:
-        """Greedy token loop with [EOS] early stop (`lib.rs:117-139`)."""
+        """Greedy token loop with [EOS] early stop (`lib.rs:117-139`).
+
+        Greedy decoding is deterministic per prefix, and the bidirectional
+        denoiser re-encodes every position each step (no sound AR-style KV
+        reuse), so the valid cache is an exact-prefix next-token memo: a
+        repeated or shared-prefix prompt skips its forwards entirely
+        (`generate_cache_hits` counts skips)."""
         ids = self.tokenizer.encode(prompt)
         if not ids:
             ids = [self.tokenizer.eos_id]
         out_ids: List[int] = []
         for _ in range(max_length):
-            probs = self.predict_next_token(ids[-self.config.max_sequence_length:])
-            next_id = int(jnp.argmax(probs))
+            window = tuple(ids[-self.config.max_sequence_length:])
+            next_id = self._ntp_cache.get(window)
+            if next_id is None:
+                probs = self.predict_next_token(list(window))
+                next_id = int(jnp.argmax(probs))
+                self._ntp_cache[window] = next_id
+            else:
+                self.generate_cache_hits += 1
             if next_id == self.tokenizer.eos_id:
                 break
             ids.append(next_id)
@@ -305,13 +356,47 @@ class Engine:
 
     def sample(self, batch_size: int = 1, seq_len: Optional[int] = None,
                num_steps: Optional[int] = None, seed: int = 0,
-               return_text: bool = True):
-        """Phase-aware quantized reverse-diffusion sampling -> text."""
+               return_text: bool = True, use_paged: bool = True,
+               salience_routing: bool = False):
+        """Phase-aware quantized reverse-diffusion sampling -> text.
+
+        use_paged (default): the flagship path — the quantized PAGED KV
+        serving machinery (`serving.PagedContinuousBatcher`: per-page bit
+        buckets, batched paged flash kernel, optional salience routing), so
+        the facade reaches the same code production serving runs.
+        use_paged=False: the lax.scan sampler (`phase_aware_sample`) — one
+        fused program, best for one-shot fixed batches.
+        """
         seq_len = seq_len or min(32, self.config.max_sequence_length)
-        key = jax.random.PRNGKey(seed)
-        x = phase_aware_sample(self.params, self.config, self.schedule,
-                               (batch_size, seq_len), key, num_steps)
-        token_ids = dn.decode_tokens(self.params, x)
+        T = num_steps or self.config.num_timesteps
+        if use_paged:
+            from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher,
+                                                      Request)
+            skey = (batch_size, seq_len, salience_routing)
+            b = self._samplers.get(skey)
+            if b is None:
+                # largest page <= 64 dividing seq_len and packable at 1 bit
+                page = next((p for p in range(min(seq_len, 64), 0, -1)
+                             if seq_len % p == 0 and p % 8 == 0), seq_len)
+                b = PagedContinuousBatcher(
+                    self.params, self.config, self.schedule,
+                    num_slots=batch_size, seq_len=seq_len,
+                    page_size=page, salience_routing=salience_routing)
+                self._samplers[skey] = b
+            b.params = self.params        # pick up later quantize_weights
+            b._key = jax.random.PRNGKey(seed)
+            for i in range(batch_size):
+                b.submit(Request(f"sample:{seed}:{i}", seq_len=seq_len,
+                                 num_steps=T))
+            done = {c.request_id: c for c in b.run_until_drained()}
+            token_ids = jnp.stack([
+                jnp.asarray(done[f"sample:{seed}:{i}"].tokens)
+                for i in range(batch_size)])
+        else:
+            key = jax.random.PRNGKey(seed)
+            x = phase_aware_sample(self.params, self.config, self.schedule,
+                                   (batch_size, seq_len), key, num_steps)
+            token_ids = dn.decode_tokens(self.params, x)
         if not return_text:
             return token_ids
         return [self.tokenizer.decode(np.asarray(row)) for row in token_ids]
