@@ -49,8 +49,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build(cfg, params):
+def build(cfg, params, batch=None, seq=None, steps=None):
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
+    batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
 
     def model_fn(x, t):
         # bf16 activations through the denoiser (MXU path); the p_sample
@@ -60,28 +61,54 @@ def build(cfg, params):
 
     @jax.jit
     def run(key):
-        return sample(model_fn, schedule, (BATCH, SEQ, cfg.hidden_size), key,
-                      num_steps=STEPS)
+        return sample(model_fn, schedule, (batch, seq, cfg.hidden_size), key,
+                      num_steps=steps)
 
     return run
 
 
-def time_run(run, label):
+def time_run(run, label, batch=None, seq=None, steps=None):
+    batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    run(key).block_until_ready()
+    # force a scalar host transfer: block_until_ready on SMALL outputs can
+    # return before the device finishes through the axon tunnel (CLAUDE.md)
+    float(jnp.sum(run(key)))
     log(f"{label}: compile+first run {time.perf_counter() - t0:.2f}s")
     times = []
     for i in range(REPEATS):
         key = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        run(key).block_until_ready()
+        float(jnp.sum(run(key)))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    tps = BATCH * SEQ / best
-    log(f"{label}: best {best * 1e3:.1f} ms for {STEPS} steps -> "
-        f"{tps:.1f} gen tokens/s ({BATCH * SEQ * STEPS / best:.0f} "
+    tps = batch * seq / best
+    log(f"{label}: best {best * 1e3:.1f} ms for {steps} steps -> "
+        f"{tps:.1f} gen tokens/s ({batch * seq * steps / best:.0f} "
         f"denoise-step tokens/s)")
+    return tps
+
+
+def measure_serving(cfg, params, label):
+    """Paged quantized-KV continuous-batching throughput (BASELINE config 5
+    single-chip core): gen tokens/s over a drained request mix."""
+    from diffusion_llm_rs_tpu.serving import PagedContinuousBatcher, Request
+
+    slots, seq = 8, 256
+    b = PagedContinuousBatcher(params, cfg, num_slots=slots, seq_len=seq,
+                               page_size=128)
+    t0 = time.perf_counter()
+    b.submit(Request("warm", seq_len=seq, num_steps=12))
+    b.run_until_drained()
+    log(f"{label}: serving warmup (compiles) {time.perf_counter() - t0:.1f}s")
+    for i in range(2 * slots):
+        b.submit(Request(f"r{i}", seq_len=seq, num_steps=12))
+    t0 = time.perf_counter()
+    done = b.run_until_drained()
+    dt = time.perf_counter() - t0
+    tps = sum(c.tokens.size for c in done) / dt
+    log(f"{label}: paged serving {tps:.1f} gen tokens/s "
+        f"({len(done)} reqs in {dt:.2f}s)")
     return tps
 
 
@@ -127,13 +154,44 @@ def main():
         ("/decoded" if DECODED else "")
     int4_tps = time_run(build(cfg, qparams), label)
 
-    kind = ("int8-activation" if ACT_BITS == 8 else "weight-only")
-    print(json.dumps({
-        "metric": f"int{BITS} {kind} diffusion decode throughput",
+    record = {
+        "metric": f"int{BITS} "
+                  f"{'int8-activation' if ACT_BITS == 8 else 'weight-only'} "
+                  f"diffusion decode throughput",
         "value": round(int4_tps, 2),
         "unit": "tokens/s/chip",
         "vs_baseline": round(int4_tps / bf16_tps, 4),
-    }), flush=True)
+    }
+
+    if os.environ.get("BENCH_EXTRA", "1") == "1":
+        # B=1 memory-bound decode (weight-bandwidth-bound regime: packed
+        # weights in HBM, Pallas in-kernel unpack wins over decoded-int8)
+        b1 = dict(batch=1, seq=128, steps=64)
+        qp_packed = quantize_tree(params, BITS, symmetric=True,
+                                  granularity="group", group_size=128, axis=0)
+        qp_packed = jax.tree_util.tree_map(
+            lambda l: (pallas_matmul.prepare(l) if isinstance(
+                l, QuantizedTensor) and l.ndim == 2 and l.shape[0] % 256 == 0
+                else l),
+            qp_packed, is_leaf=lambda l: isinstance(l, QuantizedTensor))
+        b1_bf16 = time_run(build(cfg, params_bf16, **b1), "bf16 B=1", **b1)
+        b1_int = time_run(build(cfg, qp_packed, **b1),
+                          f"int{BITS} packed B=1", **b1)
+        record["decode_b1_tokens_per_sec"] = round(b1_int, 2)
+        record["decode_b1_vs_bf16"] = round(b1_int / b1_bf16, 4)
+        # paged quantized-KV continuous-batching serving throughput.
+        # Fixed 4-bit KV: ONE bucket -> one step compile (the progressive
+        # schedule's per-used-bucket-set specializations are measured in
+        # benchmarks/bench_serving.py, not here where driver time is bounded)
+        import dataclasses
+        cfg_serve = dataclasses.replace(
+            cfg, quant_config=dataclasses.replace(
+                cfg.quant_config, progressive_precision=False,
+                prefill_bits=4, decode_bits=4))
+        record["paged_serving_tokens_per_sec"] = round(
+            measure_serving(cfg_serve, qparams, label), 2)
+
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

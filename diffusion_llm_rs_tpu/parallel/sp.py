@@ -60,8 +60,18 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     l = jnp.zeros((B, S_loc, H), jnp.float32)
     perm = [(j, (j + 1) % ring_size) for j in range(ring_size)]
 
-    def body(i, carry):
-        acc, m, l, k_cur, v_cur = carry
+    # Unrolled double-buffered ring (ring_size is static, <= mesh size):
+    # each hop's ppermute is issued BEFORE the resident block's attention
+    # math, and the math has no data dependency on the in-flight transfer,
+    # so XLA's latency-hiding scheduler overlaps the ICI hop with the
+    # einsums ("collectives overlapped with compute", BASELINE.md north
+    # star; VERDICT r1 item 10). The final hop is skipped entirely — the
+    # rotated block would never be read.
+    k_cur, v_cur = k, v
+    for step in range(ring_size):
+        if step + 1 < ring_size:
+            k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         logits = jnp.einsum("bshd,bthd->bsht", qf,
                             k_cur.astype(jnp.float32),
                             preferred_element_type=jnp.float32) * scale
@@ -72,12 +82,9 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         acc = acc * corr[..., None] + jnp.einsum(
             "bsht,bthd->bshd", p, v_cur.astype(jnp.float32),
             preferred_element_type=jnp.float32)
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return acc, m_new, l, k_nxt, v_nxt
-
-    acc, m, l, _, _ = jax.lax.fori_loop(0, ring_size, body,
-                                        (acc, m, l, k, v))
+        m = m_new
+        if step + 1 < ring_size:
+            k_cur, v_cur = k_nxt, v_nxt
     return (acc / l[..., None]).astype(q.dtype)
 
 
