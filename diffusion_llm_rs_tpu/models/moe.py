@@ -68,14 +68,23 @@ def load_balancing_loss(gates: jax.Array, expert: jax.Array) -> jax.Array:
 
 def moe_mlp(p: Params, h: jax.Array, capacity_factor: float = 1.25,
             ep_axis: str = None, mesh: Mesh = None,
-            return_aux: bool = False) -> jax.Array:
-    """Top-1 routed expert MLP, GShard dense dispatch. h [B, S, D].
+            return_aux: bool = False, dispatch: str = "auto") -> jax.Array:
+    """Top-1 routed expert MLP. h [B, S, D]. SURVEY.md §2.1 EP row.
 
-    Built for INFERENCE of diffusion denoise steps (SURVEY.md §2.1 EP row):
-    the dense [T, E, C] dispatch tensor is O(T^2) at capacity_factor*T slots
-    total, which is fine at serving batch sizes but would need sort-based
-    ragged dispatch for large-scale MoE training. With return_aux=True, also
-    returns `load_balancing_loss` for training use.
+    Two dispatch strategies with IDENTICAL semantics (first-come-first-kept
+    GShard drop policy; parity pinned in tests):
+      - "dense": GShard one-hot dispatch tensor [T, E, C] — two extra
+        einsums, O(T * E*C * D) work; fine at serving batch sizes and very
+        MXU-friendly, but E*C ≈ capacity_factor*T makes it O(T^2 D).
+      - "sorted": ragged dispatch — stable-sort tokens by expert, compute
+        within-expert positions from segment offsets, scatter kept rows into
+        the [E*C, D] slot buffer and gather back. O(T log T + T D): the
+        scaling path for large T or many experts.
+    "auto" picks sorted once the dense dispatch tensor would outweigh the
+    token activations by 8x (E*C > 8*D).
+
+    With return_aux=True, also returns `load_balancing_loss` (add to the
+    training objective — top-1 routing collapses without it).
     """
     B, S, D = h.shape
     E = p["router"].shape[1]
@@ -89,14 +98,35 @@ def moe_mlp(p: Params, h: jax.Array, capacity_factor: float = 1.25,
     expert = jnp.argmax(gates, axis=-1)              # [T]
     gate = jnp.max(gates, axis=-1)                   # [T]
 
-    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)   # [T, E]
-    pos = jnp.cumsum(onehot, axis=0) - 1.0                  # slot per expert
-    keep = (pos < C) * onehot                               # [T, E]
-    slot = jnp.clip(jnp.sum(pos * onehot, axis=-1), 0, C - 1).astype(jnp.int32)
-    # dispatch tensor [T, E, C]: token t -> (its expert, its slot), if kept
-    de = keep[:, :, None] * jax.nn.one_hot(slot, C, dtype=jnp.float32)[:, None, :]
+    if dispatch == "auto":
+        dispatch = "sorted" if E * C > 8 * D else "dense"
 
-    xe = jnp.einsum("tec,td->ecd", de, x.astype(jnp.float32))   # [E, C, D]
+    if dispatch == "sorted":
+        # ragged dispatch: stable sort keeps the first-come-first-kept drop
+        # order identical to the dense path
+        order = jnp.argsort(expert, stable=True)               # [T]
+        sorted_e = expert[order]
+        counts = jnp.sum(jax.nn.one_hot(expert, E, dtype=jnp.int32), axis=0)
+        offsets = jnp.cumsum(counts) - counts                  # [E] exclusive
+        seg_pos = jnp.arange(T, dtype=jnp.int32) - offsets[sorted_e]
+        kept = seg_pos < C
+        # dropped tokens scatter to a trash row E*C
+        dest = jnp.where(kept, sorted_e * C + jnp.minimum(seg_pos, C - 1),
+                         E * C)
+        xe_flat = jnp.zeros((E * C + 1, D), jnp.float32)
+        xe_flat = xe_flat.at[dest].set(x[order].astype(jnp.float32))
+        xe = xe_flat[:-1].reshape(E, C, D)
+    else:
+        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)   # [T, E]
+        pos = jnp.cumsum(onehot, axis=0) - 1.0                  # slot/expert
+        keep = (pos < C) * onehot                               # [T, E]
+        slot = jnp.clip(jnp.sum(pos * onehot, axis=-1), 0,
+                        C - 1).astype(jnp.int32)
+        # dispatch tensor [T, E, C]: token t -> (its expert, its slot)
+        de = keep[:, :, None] * jax.nn.one_hot(
+            slot, C, dtype=jnp.float32)[:, None, :]
+        xe = jnp.einsum("tec,td->ecd", de, x.astype(jnp.float32))
+
     if ep_axis is not None:
         xe = jax.lax.with_sharding_constraint(
             xe, NamedSharding(mesh, P(ep_axis, None, None)))
@@ -108,7 +138,15 @@ def moe_mlp(p: Params, h: jax.Array, capacity_factor: float = 1.25,
     if ep_axis is not None:
         ye = jax.lax.with_sharding_constraint(
             ye, NamedSharding(mesh, P(ep_axis, None, None)))
-    y = jnp.einsum("tec,ecd->td", de, ye) * gate[:, None]
+
+    if dispatch == "sorted":
+        ye_flat = jnp.concatenate(
+            [ye.reshape(E * C, D), jnp.zeros((1, D), jnp.float32)])
+        y_sorted = ye_flat[dest]                              # [T, D]
+        inv = jnp.argsort(order, stable=True)
+        y = y_sorted[inv] * gate[:, None]
+    else:
+        y = jnp.einsum("tec,ecd->td", de, ye) * gate[:, None]
     out = y.reshape(B, S, D).astype(dtype)
     if return_aux:
         return out, load_balancing_loss(gates, expert)

@@ -53,7 +53,8 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
     def __init__(self, params, cfg: DiffusionConfig, mesh: Mesh,
                  schedule: Optional[DiffusionSchedule] = None,
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0,
-                 page_size: Optional[int] = None):
+                 page_size: Optional[int] = None,
+                 salience_routing: bool = False, salience_ema: float = 0.8):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
@@ -64,7 +65,8 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
             raise ValueError(f"heads {cfg.num_attention_heads} not divisible "
                              f"by model axis {self.tp}")
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
-                         page_size)
+                         page_size, salience_routing=salience_routing,
+                         salience_ema=salience_ema)
         HG = cfg.num_attention_heads // self.head_group
         if HG % self.tp:
             raise ValueError(f"head groups {HG} not divisible by model axis "

@@ -117,6 +117,42 @@ def test_sharded_state_shardings():
     assert specs == {"model"}
 
 
+def test_sharded_salience_routing():
+    """Salience routing under the mesh: per-page attention-mass proxy is
+    pmean'd over 'model' (full-model signal on every shard), bits allocated
+    per page, requests drain finite."""
+    cfg, params = _setup()
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    b = ShardedPagedBatcher(params, cfg, mesh, num_slots=2, seq_len=16,
+                            page_size=4, salience_routing=True)
+    b.submit(Request("s", seq_len=16, num_steps=8))
+    done = b.run_until_drained()
+    assert np.all(np.isfinite(done[0].embeddings))
+    s = b.page_scores[0]
+    assert np.all(np.isfinite(s)) and np.all(s >= 0)
+    assert abs(float(s.sum()) - 1.0) < 1e-2
+
+
+def test_sharded_quantized_weights():
+    """Megatron TP split of GPTQ/RTN-packed MatmulWeights feeds the sharded
+    serving step (packed data + sidecars split on the same logical axis)."""
+    from diffusion_llm_rs_tpu.ops.pallas_matmul import prepare
+    from diffusion_llm_rs_tpu.quant.core import QuantizedTensor, quantize_tree
+
+    cfg, params = _setup()
+    qp = quantize_tree(params, 4, symmetric=True, granularity="group",
+                       group_size=32, axis=0, min_size=256)
+    qp = jax.tree_util.tree_map(
+        lambda l: prepare(l) if isinstance(l, QuantizedTensor) and l.ndim == 2
+        else l, qp, is_leaf=lambda l: isinstance(l, QuantizedTensor))
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    b = ShardedPagedBatcher(qp, cfg, mesh, num_slots=2, seq_len=8,
+                            page_size=4)
+    b.submit(Request("q", seq_len=8, num_steps=4))
+    done = b.run_until_drained()
+    assert len(done) == 1 and np.all(np.isfinite(done[0].embeddings))
+
+
 def test_sharded_validates_divisibility():
     cfg, params = _setup(num_heads=3)
     mesh = make_mesh((2, 2), devices=jax.devices()[:4])
