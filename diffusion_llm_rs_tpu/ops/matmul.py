@@ -101,7 +101,19 @@ def int8_linear(x: jax.Array, w: Int8Weight,
                 b: Optional[jax.Array] = None,
                 activation: Optional[str] = None,
                 out_dtype=jnp.float32) -> jax.Array:
-    """y = act(quant_act(x) @ w8 * sx * col_scale + b) — all-XLA int8 path."""
+    """y = act(quant_act(x) @ w8 * sx * col_scale + b).
+
+    On TPU this fuses act-quant + int8 MXU dot + scale/bias/gelu epilogue
+    into one Pallas tile (`pallas_matmul.int8w_matmul`) — one pass over x
+    instead of XLA's separate amax/quantize/dot/scale passes; identical
+    math. XLA path elsewhere / for kernel-unfriendly shapes."""
+    if use_pallas():
+        from diffusion_llm_rs_tpu.ops import pallas_matmul
+        out = pallas_matmul.int8w_matmul(x, w.data, w.col_scale, bias=b,
+                                         activation=activation,
+                                         out_dtype=out_dtype)
+        if out is not None:
+            return out
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
     sx = jnp.where(amax > 0, amax / 127.0, 1.0)

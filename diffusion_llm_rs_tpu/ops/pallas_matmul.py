@@ -312,6 +312,76 @@ def _kernel_i8(x_ref, xs_ref, w_ref, scale_ref, zp_ref, cs_ref, *args,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
+def _kernel_i8w(x_ref, w_ref, cs_ref, *args,
+                activation: Optional[str] = None, has_bias: bool = False):
+    """Decoded-int8 fused tile: in-kernel per-ROW activation quantization
+    (amax over the tile's K axis — rows are complete, so scales are exact),
+    int8x8->int32 MXU dot, rank-1 scale + bias + gelu epilogue. One pass
+    over x instead of XLA's three (amax pass, quantize pass, dot)."""
+    if has_bias:
+        b_ref, out_ref = args
+    else:
+        (out_ref,) = args
+        b_ref = None
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    sx = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xi = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jnp.dot(xi, w_ref[:], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
+    if b_ref is not None:
+        y = y + b_ref[0:1, :].astype(jnp.float32)
+    if activation == "gelu":
+        y = jax.nn.gelu(y)
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def int8w_matmul(x: jax.Array, data: jax.Array, col_scale: jax.Array,
+                 bias: Optional[jax.Array] = None,
+                 activation: Optional[str] = None,
+                 out_dtype=jnp.float32) -> Optional[jax.Array]:
+    """x [..., K] @ int8 weight [K, N] (decoded `ops.matmul.Int8Weight`
+    layout) via the fused Pallas tile. Returns None for kernel-unfriendly
+    shapes or weights too large for VMEM (caller falls back to the XLA
+    path — same math)."""
+    lead = x.shape[:-1]
+    K, N = data.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    tiles = _pick_tile(M, N)
+    # full int8 weight resident in VMEM; rows must tile the 32x128 int8 regs
+    if tiles is None or K * N > 6 * 1024 * 1024 or K % 32 or M % 8:
+        return None
+    TM = tiles[0]
+    specs = [
+        pl.BlockSpec((TM, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [x2.astype(jnp.bfloat16), data,
+              col_scale.reshape(1, N).astype(jnp.float32)]
+    if bias is not None:
+        specs.append(pl.BlockSpec((1, N), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
+        inputs.append(bias.reshape(1, N).astype(jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8w, activation=activation,
+                          has_bias=bias is not None),
+        grid=(M // TM,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((TM, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * 2 + K * N + M * N * 4,
+            transcendentals=M * N if activation else 0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+    return out.reshape(*lead, N)
+
+
 def a8_matmul_reference(x2: jax.Array, w: MatmulWeight,
                         bias: Optional[jax.Array] = None,
                         activation: Optional[str] = None,
