@@ -115,7 +115,8 @@ def main():
         return optax.apply_updates(p, updates), s, loss
 
     key = jax.random.PRNGKey(1)
-    if os.path.exists(ANCHOR) and not os.environ.get("QUALITY_RETRAIN"):
+    # save_checkpoint writes ANCHOR+'.npz' / '.json' — check the real file
+    if os.path.exists(ANCHOR + ".npz") and not os.environ.get("QUALITY_RETRAIN"):
         params = load_checkpoint(ANCHOR, like=params)
         print(f"loaded anchor checkpoint {ANCHOR}", file=sys.stderr)
     else:

@@ -77,7 +77,8 @@ class DiffusionConfig:
         """Small config for tests (reference tests use tiny literal models)."""
         defaults = dict(num_timesteps=50, hidden_size=64, num_layers=2,
                         num_attention_heads=4, vocab_size=256,
-                        max_sequence_length=32)
+                        max_sequence_length=32,
+                        dtype="float32")  # tests compare at f32 tolerances
         defaults.update(kw)
         return cls(**defaults)
 

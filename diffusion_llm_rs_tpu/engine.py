@@ -16,6 +16,7 @@ from the weight-tied readout (the commented-out intent at
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -101,10 +102,16 @@ class Engine:
         self.prefill_prefix_hits = 0
         # next-token distribution memo for the greedy generate loop (the
         # denoiser is bidirectional, so incremental KV reuse is unsound —
-        # exact-prefix memoization is the valid reuse)
-        self._ntp_cache: Dict[Tuple[int, ...], int] = {}
+        # exact-prefix memoization is the valid reuse). LRU-capped so a
+        # long-lived engine holds memory flat, mirroring the reference's
+        # cache eviction budget (`diffuse-llm-rs/src/lib.rs:1046-1073`).
+        self._ntp_cache: OrderedDict = OrderedDict()
+        self._ntp_cache_cap = 4096
         self.generate_cache_hits = 0
-        self._samplers: Dict[Tuple[int, int], object] = {}
+        # jitted samplers keyed by (batch, seq, salience): each holds full
+        # HBM page pools, so the LRU cap is small
+        self._samplers: OrderedDict = OrderedDict()
+        self._samplers_cap = 4
 
     # ------------------------------------------------------------------
     # weight quantization
@@ -127,6 +134,11 @@ class Engine:
         """
         from diffusion_llm_rs_tpu.ops import pallas_matmul
         from diffusion_llm_rs_tpu.quant.core import QuantizedTensor, quantize_fp8
+
+        # Params are being replaced: every memo derived from them (next-token
+        # results, prefill embeddings, prefix index, jitted samplers) would
+        # silently report the OLD weights' behavior — invalidate them all.
+        self._invalidate_param_memos()
 
         if method == "fp8":
             def _f8(path, leaf):
@@ -182,6 +194,13 @@ class Engine:
                 _prep, self.params,
                 is_leaf=lambda l: isinstance(l, QuantizedTensor))
         self._weight_bits = bits
+
+    def _invalidate_param_memos(self) -> None:
+        """Drop every cache keyed on (or derived from) self.params."""
+        self._ntp_cache.clear()
+        self._prefill_store.clear()
+        self._prefix_index.clear()
+        self._samplers.clear()
 
     # ------------------------------------------------------------------
     # tokenization + attention-mask cache (`diffuse-llm-rs/src/lib.rs:1224-1256`)
@@ -342,7 +361,10 @@ class Engine:
                 probs = self.predict_next_token(list(window))
                 next_id = int(jnp.argmax(probs))
                 self._ntp_cache[window] = next_id
+                while len(self._ntp_cache) > self._ntp_cache_cap:
+                    self._ntp_cache.popitem(last=False)
             else:
+                self._ntp_cache.move_to_end(window)
                 self.generate_cache_hits += 1
             if next_id == self.tokenizer.eos_id:
                 break
@@ -357,7 +379,7 @@ class Engine:
     def sample(self, batch_size: int = 1, seq_len: Optional[int] = None,
                num_steps: Optional[int] = None, seed: int = 0,
                return_text: bool = True, use_paged: bool = True,
-               salience_routing: bool = False):
+               salience_routing: bool = False, attend_mode: str = "auto"):
         """Phase-aware quantized reverse-diffusion sampling -> text.
 
         use_paged (default): the flagship path — the quantized PAGED KV
@@ -370,20 +392,33 @@ class Engine:
         seq_len = seq_len or min(32, self.config.max_sequence_length)
         T = num_steps or self.config.num_timesteps
         if use_paged:
+            # largest page <= 64 dividing seq_len and packable at 1 bit; if
+            # none exists (e.g. seq_len=10) the paged pools can't be built —
+            # fall back to the fused scan sampler instead of crashing
+            page = next((p for p in range(min(seq_len, 64), 0, -1)
+                         if seq_len % p == 0 and p % 8 == 0), None)
+            if page is None:
+                use_paged = False
+        if use_paged:
             from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher,
                                                       Request)
-            skey = (batch_size, seq_len, salience_routing)
+            skey = (batch_size, seq_len, salience_routing, attend_mode)
             b = self._samplers.get(skey)
             if b is None:
-                # largest page <= 64 dividing seq_len and packable at 1 bit
-                page = next((p for p in range(min(seq_len, 64), 0, -1)
-                             if seq_len % p == 0 and p % 8 == 0), seq_len)
                 b = PagedContinuousBatcher(
                     self.params, self.config, self.schedule,
                     num_slots=batch_size, seq_len=seq_len,
-                    page_size=page, salience_routing=salience_routing)
+                    page_size=page, salience_routing=salience_routing,
+                    attend_mode=attend_mode)
                 self._samplers[skey] = b
-            b.params = self.params        # pick up later quantize_weights
+                while len(self._samplers) > self._samplers_cap:
+                    self._samplers.popitem(last=False)
+            else:
+                self._samplers.move_to_end(skey)
+            # pick up later quantize_weights in BOTH the denoise step and
+            # the token readout (the two must decode with the same weights)
+            b.params = self.params
+            b.readout_params = self.params
             b._key = jax.random.PRNGKey(seed)
             for i in range(batch_size):
                 b.submit(Request(f"sample:{seed}:{i}", seq_len=seq_len,

@@ -42,8 +42,7 @@ except ImportError:  # older jax
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
 from diffusion_llm_rs_tpu.parallel.tp import place_tp_params, tp_denoiser_forward
-from diffusion_llm_rs_tpu.serving import (PagedContinuousBatcher,
-                                          _paged_attend_factory)
+from diffusion_llm_rs_tpu.serving import PagedContinuousBatcher
 
 
 class ShardedPagedBatcher(PagedContinuousBatcher):
@@ -54,7 +53,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                  schedule: Optional[DiffusionSchedule] = None,
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0,
                  page_size: Optional[int] = None,
-                 salience_routing: bool = False, salience_ema: float = 0.8):
+                 salience_routing: bool = False, salience_ema: float = 0.8,
+                 max_chunk: int = 32, attend_mode: str = "auto",
+                 keep_embeddings: bool = True):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
@@ -66,7 +67,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                              f"by model axis {self.tp}")
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
                          page_size, salience_routing=salience_routing,
-                         salience_ema=salience_ema)
+                         salience_ema=salience_ema, max_chunk=max_chunk,
+                         attend_mode=attend_mode,
+                         keep_embeddings=keep_embeddings)
         HG = cfg.num_attention_heads // self.head_group
         if HG % self.tp:
             raise ValueError(f"head groups {HG} not divisible by model axis "
@@ -114,31 +117,37 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
               np.arange(L)[:, None, None]) * nps +
              np.arange(nps)[None, None, :]), jnp.int32)     # [L, B_loc, nps]
 
+        salience = self.salience_routing
+        make_attend = self._make_attend
+        mdt = self._model_dtype
+
         def local_step(params_stacked, x, t_vec, active, seq_lens,
                        page_bits, slot_keys, pools, used):
             params_local = jax.tree_util.tree_map(lambda l: l[0],
                                                   params_stacked)
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
             pools = {b: dict(p) for b, p in pools.items()}
-            scores_acc: list = []
-            attend_fn = _paged_attend_factory(
-                cfg=cfg, B=B_loc, S=S, Pg=Pg, nps=nps, L=L, H=H_loc, G=G,
-                buckets=buckets, pt=pt_local, pools=pools,
-                page_bits=page_bits, active=active, seq_lens=seq_lens,
-                scores_acc=scores_acc, used=used)
-            eps = tp_denoiser_forward(params_local, cfg, x, t_clamped, tp,
-                                      "model", attend_fn=attend_fn)
+            scores_acc = [] if salience else None
+            attend_fn = make_attend(pools, page_bits, active, seq_lens,
+                                    scores_acc, used, B=B_loc, H=H_loc,
+                                    pt=pt_local)
+            eps = tp_denoiser_forward(params_local, cfg, x.astype(mdt),
+                                      t_clamped, tp, "model",
+                                      attend_fn=attend_fn)
             noise = jax.vmap(
                 lambda kk: jax.random.normal(kk, (S, cfg.hidden_size),
                                              x.dtype))(slot_keys)
             x_next = p_sample(schedule, x, t_clamped, eps.astype(x.dtype),
                               noise=noise)
             keep = active.reshape(-1, 1, 1)
-            # salience proxy is head-local: average it over 'model' so every
-            # shard (and the host) sees the full-model attention mass
-            page_scores = jax.lax.pmean(
-                jnp.mean(jnp.stack(scores_acc), axis=0), "model")
-            return jnp.where(keep, x_next, x), pools, page_scores
+            x_out = jnp.where(keep, x_next, x)
+            if salience:
+                # salience proxy is head-local: average it over 'model' so
+                # every shard (and the host) sees full-model attention mass
+                page_scores = jax.lax.pmean(
+                    jnp.mean(jnp.stack(scores_acc), axis=0), "model")
+                return x_out, pools, page_scores
+            return x_out, pools
 
         jitted: dict = {}
 
@@ -153,16 +162,105 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                     b: {k: P("data", "model", *([None] * (a.ndim - 2)))
                         for k, a in p.items()}
                     for b, p in pools.items()}
+                out_specs = (P("data", None, None), pool_specs)
+                if salience:
+                    out_specs = out_specs + (P("data", None),)
                 sm = shard_map(
                     functools.partial(local_step, used=used), mesh=mesh,
                     in_specs=(pspecs, P("data", None, None), P("data"),
                               P("data"), P("data"), P("data", None),
                               P("data", None), pool_specs),
-                    out_specs=(P("data", None, None), pool_specs,
-                               P("data", None)),
+                    out_specs=out_specs,
                     check_vma=False)
                 jitted[key] = jax.jit(sm, donate_argnums=(7,))
             return jitted[key](params_stacked, x, t_vec, active, seq_lens,
                                page_bits, slot_keys, pools)
+
+        return run
+
+    def _build_chunk(self) -> Callable:
+        """Sharded twin of `PagedContinuousBatcher._build_chunk`: ONE jitted
+        shard_map whose body scans n fused denoise steps — slots/pools over
+        'data', Megatron weights over 'model'. Per-slot bits re-route on
+        device each scan step; host dispatch happens once per chunk."""
+        cfg, schedule = self.cfg, self.schedule
+        mesh, tp = self.mesh, self.tp
+        B, S = self.num_slots, self.seq_len
+        B_loc = B // self.dp
+        Pg, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
+        H_loc = cfg.num_attention_heads // tp
+        L = cfg.num_layers
+        G = self.head_group
+        pt_local = jnp.asarray(
+            ((np.arange(B_loc)[None, :, None] * L +
+              np.arange(L)[:, None, None]) * nps +
+             np.arange(nps)[None, None, :]), jnp.int32)     # [L, B_loc, nps]
+        slot_bits_fn = self._slot_bits
+        make_attend = self._make_attend
+        mdt = self._model_dtype
+
+        def local_chunk(params_stacked, x, rng, t0, totals, seq_lens,
+                        pools, used, n_steps):
+            params_local = jax.tree_util.tree_map(lambda l: l[0],
+                                                  params_stacked)
+            shard = jax.lax.axis_index("data")
+
+            def body(carry, _):
+                x, t, rng, pools = carry
+                # every shard advances the SAME global key chain (splits are
+                # deterministic), then takes its own slots' keys — bit-equal
+                # per-slot noise to the single-device batcher
+                rng, sub = jax.random.split(rng)
+                step_keys = jax.random.split(sub, B)
+                local_keys = jax.lax.dynamic_slice_in_dim(
+                    step_keys, shard * B_loc, B_loc)
+                active = t >= 0
+                t_clamped = jnp.maximum(t, 0).astype(jnp.int32)
+                bits = slot_bits_fn(t_clamped, totals)
+                page_bits = jnp.broadcast_to(bits[:, None], (B_loc, nps))
+                pools = {b: dict(p) for b, p in pools.items()}
+                attend_fn = make_attend(pools, page_bits, active, seq_lens,
+                                        None, used, B=B_loc, H=H_loc,
+                                        pt=pt_local)
+                eps = tp_denoiser_forward(params_local, cfg, x.astype(mdt),
+                                          t_clamped, tp, "model",
+                                          attend_fn=attend_fn)
+                noise = jax.vmap(
+                    lambda kk: jax.random.normal(kk, (S, cfg.hidden_size),
+                                                 x.dtype))(local_keys)
+                x_next = p_sample(schedule, x, t_clamped,
+                                  eps.astype(x.dtype), noise=noise)
+                x = jnp.where(active.reshape(-1, 1, 1), x_next, x)
+                t = jnp.where(active, t - 1, t)
+                return (x, t, rng, pools), None
+
+            (x, _, rng, pools), _ = jax.lax.scan(
+                body, (x, t0, rng, pools), None, length=n_steps)
+            return x, rng, pools
+
+        jitted: dict = {}
+
+        def run(params_stacked, x, rng, t0, totals, seq_lens, pools, used,
+                n_steps):
+            key = (jax.tree_util.tree_structure(params_stacked), used,
+                   n_steps)
+            if key not in jitted:
+                pspecs = jax.tree_util.tree_map(
+                    lambda l: P("model", *([None] * (l.ndim - 1))),
+                    params_stacked)
+                pool_specs = {
+                    b: {k: P("data", "model", *([None] * (a.ndim - 2)))
+                        for k, a in p.items()}
+                    for b, p in pools.items()}
+                sm = shard_map(
+                    functools.partial(local_chunk, used=used,
+                                      n_steps=n_steps), mesh=mesh,
+                    in_specs=(pspecs, P("data", None, None), P(),
+                              P("data"), P("data"), P("data"), pool_specs),
+                    out_specs=(P("data", None, None), P(), pool_specs),
+                    check_vma=False)
+                jitted[key] = jax.jit(sm, donate_argnums=(6,))
+            return jitted[key](params_stacked, x, rng, t0, totals, seq_lens,
+                               pools)
 
         return run

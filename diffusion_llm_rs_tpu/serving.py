@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_llm_rs_tpu.cache.paged import quantize_page
+from diffusion_llm_rs_tpu.cache.paged import dequantize_page, quantize_page
 from diffusion_llm_rs_tpu.cache.salience import allocate_bits
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
@@ -53,7 +53,9 @@ class Request:
 class Completion:
     request_id: str
     tokens: np.ndarray       # [seq_len] decoded token ids
-    embeddings: np.ndarray   # [seq_len, hidden]
+    embeddings: Optional[np.ndarray]   # [seq_len, hidden]; None unless the
+    # batcher keeps embeddings (the [B, S, D] host transfer through a TPU
+    # tunnel costs more than the denoise steps — tokens are the product)
     steps: int
     latency_s: float
 
@@ -63,11 +65,13 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: DiffusionConfig,
                  schedule: Optional[DiffusionSchedule] = None,
-                 num_slots: int = 8, seq_len: int = 64, seed: int = 0):
+                 num_slots: int = 8, seq_len: int = 64, seed: int = 0,
+                 keep_embeddings: bool = True):
         self.params = params
         # readout (decode_tokens) params — the sharded subclass re-packs
         # self.params for its step fn but keeps the original tree here
         self.readout_params = params
+        self.keep_embeddings = keep_embeddings
         self.cfg = cfg
         self.schedule = schedule or DiffusionSchedule.create(
             cfg.num_timesteps, cfg.beta_start, cfg.beta_end, cfg.beta_schedule)
@@ -76,18 +80,24 @@ class ContinuousBatcher:
         self._key = jax.random.PRNGKey(seed)
 
         B, S, D = num_slots, seq_len, cfg.hidden_size
+        # denoiser compute dtype (MXU path); slot state + posterior stay f32
+        self._model_dtype = (jnp.bfloat16 if cfg.dtype == "bfloat16"
+                             else jnp.float32)
         self.x = jnp.zeros((B, S, D), jnp.float32)
         # per-slot timestep; -1 = inactive (`t: Array1<usize>` per-sample)
         self.t = np.full((B,), -1, np.int64)
         self.slot_request: List[Optional[Request]] = [None] * B
         self.queue: Deque[Request] = deque()
         self.completions: Deque[Completion] = deque()
+        self._decode_fn: Optional[Callable] = None
+        self._admit_fn: Optional[Callable] = None
         self._step_fn = self._build_step()
 
     # -- jitted batched denoise step ----------------------------------------
 
     def _build_step(self) -> Callable:
         cfg, schedule = self.cfg, self.schedule
+        mdt = self._model_dtype
 
         @jax.jit
         def step(params, x, t_vec, active, slot_keys):
@@ -96,7 +106,8 @@ class ContinuousBatcher:
             # membership changes never perturb other slots' streams (and a
             # data-parallel shard of the slots computes identical values)
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
-            eps = dn.denoiser_forward(params, cfg, x, t_clamped)
+            eps = dn.denoiser_forward(params, cfg, x.astype(mdt),
+                                      t_clamped).astype(jnp.float32)
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, x.shape[1:], x.dtype))(slot_keys)
             x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
@@ -119,17 +130,33 @@ class ContinuousBatcher:
         return int((self.t >= 0).sum())
 
     def _admit(self) -> None:
+        # Batched admission: ONE key split + ONE [n, S, D] normal + ONE
+        # scatter for all newly admitted slots. (Per-slot eager admission ops
+        # through the TPU tunnel were measured at ~15 ms per request —
+        # DESIGN.md perf log, round 3.)
+        fresh: List[int] = []
         for slot in range(self.num_slots):
             if self.t[slot] >= 0 or not self.queue:
                 continue
             req = self.queue.popleft()
-            self._key, sub = jax.random.split(self._key)
-            noise = jax.random.normal(
-                sub, (self.seq_len, self.cfg.hidden_size), jnp.float32)
-            self.x = self.x.at[slot].set(noise)
+            fresh.append(slot)
             self.t[slot] = req.num_steps - 1
             self.slot_request[slot] = req
             metrics.inc("batcher.admitted")
+        if fresh:
+            # full-[B] noise + masked select: ONE compiled shape regardless
+            # of how many slots admit (a per-count scatter compiles B
+            # variants at ~2.6 s each through the TPU tunnel)
+            self._key, sub = jax.random.split(self._key)
+            noise = jax.random.normal(
+                sub, (self.num_slots, self.seq_len, self.cfg.hidden_size),
+                jnp.float32)
+            mask = np.zeros((self.num_slots,), bool)
+            mask[fresh] = True
+            if self._admit_fn is None:
+                self._admit_fn = jax.jit(
+                    lambda x, m, n: jnp.where(m[:, None, None], n, x))
+            self.x = self._admit_fn(self.x, jnp.asarray(mask), noise)
 
     def _invoke_step(self, active_mask: np.ndarray,
                      slot_keys: jax.Array) -> None:
@@ -152,23 +179,35 @@ class ContinuousBatcher:
         self.t = np.where(active_mask, self.t - 1, self.t)
         metrics.inc("batcher.steps")
         metrics.inc("batcher.slot_steps", n_active)
-        if finished.any():
-            x_host = None
-            for slot in np.nonzero(finished)[0]:
-                req = self.slot_request[slot]
-                if x_host is None:
-                    x_host = np.asarray(self.x)
-                emb = x_host[slot, : req.seq_len]
-                tokens = np.asarray(dn.decode_tokens(
-                    self.readout_params, jnp.asarray(emb[None]))[0])
-                self.completions.append(Completion(
-                    request_id=req.request_id, tokens=tokens,
-                    embeddings=emb, steps=req.num_steps,
-                    latency_s=time.time() - req.submitted_at))
-                self.slot_request[slot] = None
-                self.t[slot] = -1
-                metrics.inc("batcher.completed")
+        self._retire(finished)
         return n_active
+
+    def _retire(self, finished: np.ndarray) -> None:
+        """Decode + emit completions for finished slots, free the slots.
+
+        Token decode runs as ONE jitted all-slots call (static shape, no
+        per-slot dispatch): an eager per-slot readout was measured at ~75 ms
+        per retired request through the TPU tunnel — more than the denoise
+        steps themselves (DESIGN.md perf log, round 3)."""
+        if not finished.any():
+            return
+        if self._decode_fn is None:
+            self._decode_fn = jax.jit(dn.decode_tokens)
+        tokens_all = np.asarray(
+            self._decode_fn(self.readout_params, self.x))   # [B, S]
+        x_host = np.asarray(self.x) if self.keep_embeddings else None
+        for slot in np.nonzero(finished)[0]:
+            req = self.slot_request[slot]
+            self.completions.append(Completion(
+                request_id=req.request_id,
+                tokens=tokens_all[slot, : req.seq_len],
+                embeddings=(x_host[slot, : req.seq_len]
+                            if x_host is not None else None),
+                steps=req.num_steps,
+                latency_s=time.time() - req.submitted_at))
+            self.slot_request[slot] = None
+            self.t[slot] = -1
+            metrics.inc("batcher.completed")
 
     def run_until_drained(self, max_steps: int = 100_000) -> List[Completion]:
         """Drive the loop until queue and slots are empty."""
@@ -280,6 +319,75 @@ def slot_phase_bits_np(cfg: DiffusionConfig, t: np.ndarray,
     return bits, budget
 
 
+def _page_mass_proxy(q, k, *, B, S, Pg, nps, H, Hd, seq_lens, page_idx,
+                     page_valid):
+    """Per-page attention-mass proxy [B, nps]: softmax over pages of
+    (mean valid q) . (mean valid k of the page) — the in-step salience
+    signal (`/root/reference/salience-engine/src/lib.rs:130-151` intent)."""
+    tok_pos = (page_idx[..., None] * Pg +
+               jnp.arange(Pg, dtype=jnp.int32)[None, None, :])
+    tok_valid = (tok_pos < seq_lens[:, None, None]).astype(jnp.float32)
+    kpage = k.reshape(B, nps, Pg, H, Hd)
+    km = (jnp.einsum("bnp,bnphd->bnhd", tok_valid, kpage) /
+          jnp.maximum(tok_valid.sum(2), 1.0)[..., None, None])
+    qvalid = (jnp.arange(S)[None, :] < seq_lens[:, None]).astype(jnp.float32)
+    qm = (jnp.einsum("bs,bshd->bhd", qvalid, q) /
+          jnp.maximum(qvalid.sum(1), 1.0)[:, None, None])
+    logits = jnp.einsum("bhd,bnhd->bn", qm, km) / math.sqrt(Hd)
+    logits = jnp.where(page_valid, logits, -jnp.inf)
+    mass = jax.nn.softmax(logits, axis=-1)
+    return jnp.where(page_valid, mass, 0.0)
+
+
+def _dense_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
+                          nps: int, H: int, buckets, page_bits: jax.Array,
+                          active: jax.Array, seq_lens: jax.Array,
+                          scores_acc, used=None):
+    """Dense fake-quant twin of `_paged_attend_factory` for the
+    short-sequence regime: K/V take the SAME per-(token, head) affine
+    quantization round trip at each page's routed bits (`quantize_page` /
+    `dequantize_page`, numerically identical to what the paged pools hold),
+    then ONE dense attention consumes the mixed-precision reconstruction —
+    no page pools, no scatter, no page-gather kernel.
+
+    At short S the paged kernel's sequential page-DMA grid and the per-layer
+    pool rewrites cost more than they save (measured: DESIGN.md round-3 perf
+    log); the paged path wins only once the quantized KV reads dominate.
+    `PagedContinuousBatcher(attend_mode="auto")` picks the regime."""
+    Hd = cfg.head_dim
+    page_idx = jnp.arange(nps, dtype=jnp.int32)[None, :]
+    nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
+    page_valid = page_idx < nps_actual[:, None]          # [B, nps]
+    tok_ok = jnp.arange(S, dtype=jnp.int32)[None, :] < seq_lens[:, None]
+    addmask = (1.0 - tok_ok.astype(jnp.float32))[:, None, None, :] * -1e9
+    tok_bits = jnp.repeat(page_bits, Pg, axis=1)         # [B, S]
+
+    def attend_fn(li, q, k, v, mask):
+        del li, mask
+        if scores_acc is not None:
+            scores_acc.append(_page_mass_proxy(
+                q, k, B=B, S=S, Pg=Pg, nps=nps, H=H, Hd=Hd,
+                seq_lens=seq_lens, page_idx=page_idx, page_valid=page_valid))
+
+        def fq(z, bits):   # [B, S, H, Hd] quantize/dequantize round trip
+            zz = z.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+            d, s, zp = quantize_page(zz, bits)
+            out = dequantize_page(d, s, zp, bits)
+            return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
+
+        kq = jnp.zeros_like(k)
+        vq = jnp.zeros_like(v)
+        for bits in buckets:
+            if used is not None and bits not in used:
+                continue
+            sel = (tok_bits == bits)[:, :, None, None]
+            kq = jnp.where(sel, fq(k, bits).astype(k.dtype), kq)
+            vq = jnp.where(sel, fq(v, bits).astype(v.dtype), vq)
+        return dn.attention(q, kq, vq, addmask)
+
+    return attend_fn
+
+
 def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
                           nps: int, L: int, H: int, G: int, buckets,
                           pt: jax.Array, pools, page_bits: jax.Array,
@@ -298,11 +406,12 @@ def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
     precision inside one slot (BASELINE config 4), with uniform `page_bits`
     reducing exactly to the phase-per-slot routing.
 
-    Appends one [B, nps] per-page attention-mass proxy per layer to
-    `scores_acc`: softmax over pages of (mean valid q) . (mean valid k of the
-    page) — the in-step salience signal
+    With `scores_acc` a list, appends one [B, nps] per-page attention-mass
+    proxy per layer: softmax over pages of (mean valid q) . (mean valid k of
+    the page) — the in-step salience signal
     (`/root/reference/salience-engine/src/lib.rs:130-151` intent: importance
-    from access/attention patterns).
+    from access/attention patterns). With `scores_acc=None` (salience routing
+    off) the proxy is never built, so the phase-only step pays nothing for it.
     """
     HG = H // G
     Hd = cfg.head_dim
@@ -314,21 +423,10 @@ def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
     def attend_fn(li, q, k, v, mask):
         del mask
 
-        # ---- per-page attention-mass proxy (salience signal) -------------
-        tok_pos = (page_idx[..., None] * Pg +
-                   jnp.arange(Pg, dtype=jnp.int32)[None, None, :])  # [1,nps,Pg]
-        tok_valid = (tok_pos < seq_lens[:, None, None]).astype(jnp.float32)
-        kpage = k.reshape(B, nps, Pg, H, Hd)
-        km = (jnp.einsum("bnp,bnphd->bnhd", tok_valid, kpage) /
-              jnp.maximum(tok_valid.sum(2), 1.0)[..., None, None])
-        qvalid = (jnp.arange(S)[None, :] < seq_lens[:, None]
-                  ).astype(jnp.float32)
-        qm = (jnp.einsum("bs,bshd->bhd", qvalid, q) /
-              jnp.maximum(qvalid.sum(1), 1.0)[:, None, None])
-        logits = jnp.einsum("bhd,bnhd->bn", qm, km) / math.sqrt(Hd)
-        logits = jnp.where(page_valid, logits, -jnp.inf)
-        mass = jax.nn.softmax(logits, axis=-1)
-        scores_acc.append(jnp.where(page_valid, mass, 0.0))
+        if scores_acc is not None:
+            scores_acc.append(_page_mass_proxy(
+                q, k, B=B, S=S, Pg=Pg, nps=nps, H=H, Hd=Hd,
+                seq_lens=seq_lens, page_idx=page_idx, page_valid=page_valid))
 
         def to_pages(z):  # [B, S, H, Hd] -> [B*nps, H, Pg, Hd]
             z = z.transpose(0, 2, 1, 3).reshape(B, H, nps, Pg, Hd)
@@ -423,8 +521,25 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0,
                  page_size: Optional[int] = None,
                  salience_routing: bool = False,
-                 salience_ema: float = 0.8):
+                 salience_ema: float = 0.8,
+                 max_chunk: int = 32,
+                 attend_mode: str = "auto",
+                 keep_embeddings: bool = True):
         self.page_size = page_size or min(seq_len, 64)
+        # fused steps per dispatch; chunk lengths are pow2-bucketed, so at
+        # most log2(max_chunk)+1 chunk programs ever compile per bucket set
+        self.max_chunk = max_chunk
+        self._chunk_fn: Optional[Callable] = None
+        # attend_mode: "dense" reconstructs the (identically) quantized K/V
+        # and runs one dense attention — fastest at short S; "paged" streams
+        # the packed page pools through the gather kernel — wins once
+        # quantized KV reads dominate (long S). "auto" picks by seq_len
+        # (crossover measured in benchmarks/bench_longseq.py, DESIGN.md).
+        if attend_mode not in ("auto", "dense", "paged"):
+            raise ValueError(f"unknown attend_mode {attend_mode!r}")
+        if attend_mode == "auto":
+            attend_mode = "paged" if seq_len >= 1024 else "dense"
+        self.attend_mode = attend_mode
         if seq_len % self.page_size:
             raise ValueError(f"seq_len {seq_len} not divisible by page_size "
                              f"{self.page_size}")
@@ -438,7 +553,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.num_pages_per_slot = seq_len // self.page_size
         self.cfg = cfg
         self.head_group = self._choose_head_group()
-        super().__init__(params, cfg, schedule, num_slots, seq_len, seed)
+        super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
+                         keep_embeddings=keep_embeddings)
         self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
         # per-page attention-mass EMA (host side) driving salience routing
         self.page_scores = np.full((num_slots, self.num_pages_per_slot),
@@ -473,42 +589,120 @@ class PagedContinuousBatcher(ContinuousBatcher):
             "v_zp": jnp.zeros((n, HG, G * P), jnp.float32),
         }
 
-    def _build_step(self) -> Callable:
-        cfg, schedule = self.cfg, self.schedule
-        B, S = self.num_slots, self.seq_len
-        Pg, nps, buckets = self.page_size, self.num_pages_per_slot, self.buckets
-        H = cfg.num_attention_heads
-        L = cfg.num_layers
-        G = self.head_group
-        # slot-major page id: (slot b, layer li, page j) -> (b*L + li)*nps + j
-        # (fixed ranges; matches the sharded batcher so a 'data' shard
-        # boundary never splits a slot)
-        pt_const = jnp.asarray(
+    def _page_table_const(self) -> jax.Array:
+        """Slot-major page id: (slot b, layer li, page j) ->
+        (b*L + li)*nps + j (fixed ranges; matches the sharded batcher so a
+        'data' shard boundary never splits a slot). Shape [L, B, nps]."""
+        B, L, nps = self.num_slots, self.cfg.num_layers, self.num_pages_per_slot
+        return jnp.asarray(
             ((np.arange(B)[None, :, None] * L +
               np.arange(L)[:, None, None]) * nps +
-             np.arange(nps)[None, None, :]), jnp.int32)     # [L, B, nps]
+             np.arange(nps)[None, None, :]), jnp.int32)
+
+    def _make_attend(self, pools, page_bits, active, seq_lens, scores_acc,
+                     used, *, B=None, H=None, pt=None):
+        """Mode-dispatched attend callback (B/H/pt overridable so the
+        sharded subclass passes its per-shard values)."""
+        cfg = self.cfg
+        if self.attend_mode == "dense":
+            return _dense_attend_factory(
+                cfg=cfg, B=B or self.num_slots, S=self.seq_len,
+                Pg=self.page_size, nps=self.num_pages_per_slot,
+                H=H or cfg.num_attention_heads, buckets=self.buckets,
+                page_bits=page_bits, active=active, seq_lens=seq_lens,
+                scores_acc=scores_acc, used=used)
+        return _paged_attend_factory(
+            cfg=cfg, B=B or self.num_slots, S=self.seq_len,
+            Pg=self.page_size, nps=self.num_pages_per_slot,
+            L=cfg.num_layers, H=H or cfg.num_attention_heads,
+            G=self.head_group, buckets=self.buckets,
+            pt=pt if pt is not None else self._page_table_const(),
+            pools=pools, page_bits=page_bits, active=active,
+            seq_lens=seq_lens, scores_acc=scores_acc, used=used)
+
+    def _build_step(self) -> Callable:
+        cfg, schedule = self.cfg, self.schedule
+        B = self.num_slots
+        salience = self.salience_routing
+        make_attend = self._make_attend
+        mdt = self._model_dtype
 
         @functools.partial(jax.jit, donate_argnums=(7,), static_argnums=(8,))
         def step(params, x, t_vec, active, seq_lens, page_bits, slot_keys,
                  pools, used):
             t_clamped = jnp.maximum(t_vec, 0).astype(jnp.int32)
             pools = {b: dict(p) for b, p in pools.items()}
-            scores_acc: list = []
-            attend_fn = _paged_attend_factory(
-                cfg=cfg, B=B, S=S, Pg=Pg, nps=nps, L=L, H=H, G=G,
-                buckets=buckets, pt=pt_const, pools=pools,
-                page_bits=page_bits, active=active, seq_lens=seq_lens,
-                scores_acc=scores_acc, used=used)
-            eps = dn.denoiser_forward(params, cfg, x, t_clamped,
-                                      attend_fn=attend_fn)
+            # the attention-mass proxy is only built when salience routing
+            # consumes it — the phase-only step carries zero proxy cost
+            scores_acc = [] if salience else None
+            attend_fn = make_attend(pools, page_bits, active, seq_lens,
+                                    scores_acc, used)
+            eps = dn.denoiser_forward(params, cfg, x.astype(mdt), t_clamped,
+                                      attend_fn=attend_fn
+                                      ).astype(jnp.float32)
             noise = jax.vmap(
                 lambda k: jax.random.normal(k, x.shape[1:], x.dtype))(slot_keys)
             x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
             keep = active.reshape(-1, 1, 1)
-            page_scores = jnp.mean(jnp.stack(scores_acc), axis=0)
-            return jnp.where(keep, x_next, x), pools, page_scores
+            x_out = jnp.where(keep, x_next, x)
+            if salience:
+                return x_out, pools, jnp.mean(jnp.stack(scores_acc), axis=0)
+            return x_out, pools
 
         return step
+
+    def _build_chunk(self) -> Callable:
+        """Fused multi-step serving: ONE jitted `lax.scan` over n denoise
+        steps (n static via the key array's shape). Batch membership only
+        changes at admission/retirement, which the host predicts (min active
+        t + 1), so per-step host dispatch — the dominant cost of the
+        per-step path — is amortized over the whole chunk. Per-slot KV bits
+        are re-routed ON DEVICE each scan step via `make_slot_bits_router`
+        (the jnp twin of the host router), so phase transitions and
+        progressive precision happen mid-chunk exactly as they would
+        per-step; `used` staticizes the union of buckets the chunk touches."""
+        cfg, schedule = self.cfg, self.schedule
+        B = self.num_slots
+        nps = self.num_pages_per_slot
+        slot_bits_fn = self._slot_bits
+        make_attend = self._make_attend
+        mdt = self._model_dtype
+
+        @functools.partial(jax.jit, donate_argnums=(6,),
+                           static_argnums=(7, 8))
+        def run_chunk(params, x, key, t0, totals, seq_lens, pools, used,
+                      n_steps):
+            # the key chain advances INSIDE the scan (split is deterministic,
+            # so values are bit-identical to the host splitting per step —
+            # without 2 eager dispatches per step through the TPU tunnel)
+            def body(carry, _):
+                x, t, key, pools = carry
+                key, sub = jax.random.split(key)
+                step_keys = jax.random.split(sub, B)
+                active = t >= 0
+                t_clamped = jnp.maximum(t, 0).astype(jnp.int32)
+                bits = slot_bits_fn(t_clamped, totals)          # [B] int32
+                page_bits = jnp.broadcast_to(bits[:, None], (B, nps))
+                pools = {b: dict(p) for b, p in pools.items()}
+                attend_fn = make_attend(pools, page_bits, active, seq_lens,
+                                        None, used)
+                eps = dn.denoiser_forward(params, cfg, x.astype(mdt),
+                                          t_clamped, attend_fn=attend_fn
+                                          ).astype(jnp.float32)
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(k, x.shape[1:], x.dtype)
+                )(step_keys)
+                x_next = p_sample(schedule, x, t_clamped, eps, noise=noise)
+                keep = active.reshape(-1, 1, 1)
+                x = jnp.where(keep, x_next, x)
+                t = jnp.where(active, t - 1, t)
+                return (x, t, key, pools), None
+
+            (x, _, key, pools), _ = jax.lax.scan(
+                body, (x, t0, key, pools), None, length=n_steps)
+            return x, key, pools
+
+        return run_chunk
 
     def _admit(self) -> None:
         before = [r is not None for r in self.slot_request]
@@ -563,15 +757,76 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.int32)
         page_bits_np = self._route_page_bits(active_mask)
         used = self._used_buckets(page_bits_np, active_mask)
-        self.x, self.pools, scores = self._step_fn(
+        out = self._step_fn(
             self.params, self.x, jnp.asarray(self.t),
             jnp.asarray(active_mask), seq_lens,
             jnp.asarray(page_bits_np, jnp.int32), slot_keys,
             self.pools, used)
         if self.salience_routing:
+            self.x, self.pools, scores = out
             a = self.salience_ema
             self.page_scores = (a * self.page_scores +
                                 (1.0 - a) * np.asarray(scores))
+        else:
+            self.x, self.pools = out
+
+    # -- fused multi-step dispatch ------------------------------------------
+
+    def _chunk_steps(self, active_mask: np.ndarray) -> int:
+        """Steps until the next possible membership change (min active t + 1),
+        capped at max_chunk and bucketed to a power of two so the number of
+        distinct compiled chunk programs stays bounded."""
+        c = int(self.t[active_mask].min()) + 1
+        c = min(c, self.max_chunk)
+        return 1 << (c.bit_length() - 1)
+
+    def _used_buckets_chunk(self, active_mask: np.ndarray,
+                            totals: np.ndarray, c: int) -> Tuple[int, ...]:
+        """Union of buckets any active slot touches over the chunk's c steps
+        (host twin of the device router, evaluated at each offset)."""
+        used = set()
+        for s in range(c):
+            step_active = active_mask & (self.t - s >= 0)
+            if not step_active.any():
+                break
+            bits, _ = slot_phase_bits_np(
+                self.cfg, np.maximum(self.t - s, 0), totals)
+            used.update(int(v) for v in np.unique(bits[step_active]))
+        return tuple(b for b in self.buckets if b in used) or (self.buckets[0],)
+
+    def step(self) -> int:
+        """Admit, then run a CHUNK of fused denoise steps in one dispatch
+        (salience routing needs per-step host feedback, so it keeps the
+        per-step path). Returns the number of active slots stepped."""
+        if self.salience_routing or self.max_chunk <= 1:
+            return super().step()
+        self._admit()
+        active_mask = self.t >= 0
+        n_active = int(active_mask.sum())
+        if n_active == 0:
+            return 0
+        c = self._chunk_steps(active_mask)
+        totals = np.asarray(
+            [r.num_steps if r is not None else 1 for r in self.slot_request],
+            np.int32)
+        seq_lens = jnp.asarray(
+            [r.seq_len if r is not None else 0 for r in self.slot_request],
+            jnp.int32)
+        used = self._used_buckets_chunk(active_mask, totals, c)
+        if self._chunk_fn is None:
+            self._chunk_fn = self._build_chunk()
+        # per-(step, slot) keys are split INSIDE the chunk — same sequence
+        # the per-step path draws, advanced on device in one dispatch
+        self.x, self._key, self.pools = self._chunk_fn(
+            self.params, self.x, self._key, jnp.asarray(self.t, jnp.int32),
+            jnp.asarray(totals), seq_lens, self.pools, used, c)
+        new_t = np.where(active_mask, self.t - c, self.t)
+        metrics.inc("batcher.steps", c)
+        metrics.inc("batcher.slot_steps", n_active * c)
+        finished = active_mask & (new_t < 0)
+        self.t = new_t
+        self._retire(finished)
+        return n_active
 
     def cache_memory_bytes(self) -> int:
         """HBM bytes held by the page pools (packed data + sidecars) — the

@@ -73,7 +73,8 @@ def test_sample_hits_batched_paged_attention(monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(serving_mod, "batched_paged_attention", spy)
-    texts = e.sample(batch_size=2, seq_len=16, num_steps=4, seed=1)
+    texts = e.sample(batch_size=2, seq_len=16, num_steps=4, seed=1,
+                     attend_mode="paged")
     assert called["n"] > 0            # facade reached the paged kernel
     assert len(texts) == 2
 
@@ -91,5 +92,50 @@ def test_sample_salience_mode_runs():
     ids = e.sample(batch_size=2, seq_len=16, num_steps=6, seed=0,
                    return_text=False, salience_routing=True)
     assert ids.shape == (2, 16)
-    b = e._samplers[(2, 16, True)]
+    b = e._samplers[(2, 16, True, "auto")]
     assert np.all(np.isfinite(b.page_scores))
+
+
+def test_quantize_weights_invalidates_memos():
+    """quantize_weights replaces params: every params-derived memo (next-token
+    results, prefill store/prefix index, jitted samplers) must be dropped, or
+    generate() silently reports full-precision behavior (ADVICE r2 #1)."""
+    e = _engine()
+    out_fp = e.generate("the quick", max_length=4)
+    e.prefill("the quick brown fox")
+    e.sample(batch_size=1, seq_len=16, num_steps=2, seed=0)
+    assert e._ntp_cache and e._prefill_store and e._samplers
+    e.quantize_weights(2)
+    assert not e._ntp_cache and not e._prefill_store
+    assert not e._prefix_index and not e._samplers
+    out_q = e.generate("the quick", max_length=4)
+    # int2 is destructive enough that matching outputs would mean memo reuse
+    # (equality is possible in principle, but the memos being empty is the
+    # contract; recompute happened because the cache was cleared)
+    assert isinstance(out_q, str)
+
+
+def test_generate_memo_is_lru_bounded():
+    e = _engine()
+    e._ntp_cache_cap = 8
+    for i in range(6):
+        e.generate(f"prompt variant {i}", max_length=3)
+    assert len(e._ntp_cache) <= 8
+
+
+def test_samplers_are_lru_bounded():
+    e = _engine()
+    e._samplers_cap = 2
+    for seq in (8, 16, 24):
+        e.sample(batch_size=1, seq_len=seq, num_steps=2, seed=0)
+    assert len(e._samplers) <= 2
+
+
+def test_sample_odd_seq_len_falls_back_to_scan():
+    """seq_len with no valid page size (e.g. 10) must not crash: the facade
+    falls back to the fused scan sampler (ADVICE r2 #2)."""
+    e = _engine()
+    ids = e.sample(batch_size=1, seq_len=10, num_steps=3, seed=0,
+                   return_text=False)
+    assert ids.shape == (1, 10)
+    assert not e._samplers  # paged path never engaged

@@ -20,12 +20,13 @@ from diffusion_llm_rs_tpu.serving import (ContinuousBatcher,
                                           PagedContinuousBatcher, Request)
 
 
-def _make(num_slots=2, seq_len=8, page_size=4, seed=7, **cfg_kw):
+def _make(num_slots=2, seq_len=8, page_size=4, seed=7, attend_mode="paged",
+          **cfg_kw):
     cfg = DiffusionConfig.tiny(vocab_size=128, **cfg_kw)
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
     return cfg, params, PagedContinuousBatcher(
         params, cfg, num_slots=num_slots, seq_len=seq_len,
-        page_size=page_size, seed=seed)
+        page_size=page_size, seed=seed, attend_mode=attend_mode)
 
 
 def test_paged_batcher_lifecycle():
@@ -78,17 +79,18 @@ def test_paged_step_matches_fake_quant_reference(steps, expected_phase_bits):
     """
     seed = 7
     cfg, params, b = _make(seed=seed)
+    b.max_chunk = 1   # pin ONE step (fused chunks == per-step, pinned below)
     bits = expected_phase_bits
     b.submit(Request("r", seq_len=8, num_steps=steps))
     b.step()
     x_paged = np.asarray(b.x[0])
 
-    # replicate the batcher's key sequence: one split at admission (noise),
-    # one split for the step
+    # replicate the batcher's key sequence: one split at admission (full-[B]
+    # noise, admitted slots take their own row), one split for the step
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
-    noise = jax.random.normal(sub, (8, cfg.hidden_size), jnp.float32)
-    x0 = jnp.zeros((2, 8, cfg.hidden_size), jnp.float32).at[0].set(noise)
+    noise = jax.random.normal(sub, (2, 8, cfg.hidden_size), jnp.float32)
+    x0 = jnp.zeros((2, 8, cfg.hidden_size), jnp.float32).at[0].set(noise[0])
     key, step_key = jax.random.split(key)
     slot_keys = jax.random.split(step_key, 2)   # per-slot Langevin noise
     step_noise = jnp.stack([jax.random.normal(k, (8, cfg.hidden_size))
@@ -154,7 +156,8 @@ def test_paged_step_grouped_heads_matches_reference():
                                max_sequence_length=128)
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
     b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=128,
-                               page_size=128, seed=seed)
+                               page_size=128, seed=seed, max_chunk=1,
+                               attend_mode="paged")
     assert b.head_group == 2
     bits = cfg.quant_config.decode_bits
     b.submit(Request("r", seq_len=128, num_steps=steps))
@@ -163,8 +166,8 @@ def test_paged_step_grouped_heads_matches_reference():
 
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
-    noise = jax.random.normal(sub, (128, cfg.hidden_size), jnp.float32)
-    x0 = jnp.zeros((2, 128, cfg.hidden_size), jnp.float32).at[0].set(noise)
+    noise = jax.random.normal(sub, (2, 128, cfg.hidden_size), jnp.float32)
+    x0 = jnp.zeros((2, 128, cfg.hidden_size), jnp.float32).at[0].set(noise[0])
     key, step_key = jax.random.split(key)
     slot_keys = jax.random.split(step_key, 2)   # per-slot Langevin noise
     step_noise = jnp.stack([jax.random.normal(k, (128, cfg.hidden_size))
@@ -185,3 +188,66 @@ def test_paged_step_grouped_heads_matches_reference():
     x_ref = p_sample(b.schedule, x0, t, eps, noise=step_noise)
     np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode", ["paged", "dense"])
+def test_fused_chunk_matches_per_step_exactly(mode):
+    """max_chunk>1 runs fused lax.scan chunks with on-device bit routing and
+    an in-jit key chain; trajectories (and completions) are BIT-EXACT vs the
+    per-step path — key splits are deterministic so advancing the chain on
+    device draws the same values, and membership changes only at chunk
+    boundaries by construction."""
+    def run(max_chunk):
+        cfg = DiffusionConfig.tiny(vocab_size=128)
+        params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+        b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=8,
+                                   page_size=4, seed=3, max_chunk=max_chunk,
+                                   attend_mode=mode)
+        # mixed lengths + a queued request so admission happens mid-run;
+        # T=50 -> num_steps=30 spans the prefill->decode phase boundary
+        b.submit(Request("a", seq_len=8, num_steps=30))
+        b.submit(Request("b", seq_len=4, num_steps=5))
+        b.submit(Request("c", seq_len=8, num_steps=7))
+        return {c.request_id: c.embeddings for c in b.run_until_drained()}
+
+    per_step, chunked = run(1), run(16)
+    assert sorted(per_step) == sorted(chunked) == ["a", "b", "c"]
+    for rid in per_step:
+        np.testing.assert_array_equal(per_step[rid], chunked[rid])
+
+
+def test_dense_mode_matches_paged_mode():
+    """attend_mode="dense" (fake-quant reconstruction + one dense attention)
+    computes the SAME attention as attend_mode="paged" (pools + gather
+    kernel + lse merge): identical quantization math, different kernels —
+    trajectories agree to float tolerance across phase transitions and
+    mixed sequence lengths."""
+    def run(mode):
+        cfg = DiffusionConfig.tiny(vocab_size=128)
+        params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+        b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=8,
+                                   page_size=4, seed=3, attend_mode=mode)
+        b.submit(Request("a", seq_len=8, num_steps=12))
+        b.submit(Request("b", seq_len=4, num_steps=12))
+        return {c.request_id: c.embeddings for c in b.run_until_drained()}
+
+    dense, paged = run("dense"), run("paged")
+    for rid in dense:
+        np.testing.assert_allclose(dense[rid], paged[rid],
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_auto_mode_picks_dense_at_short_seq():
+    _, _, b = _make(attend_mode="auto")
+    assert b.attend_mode == "dense"
+
+
+def test_phase_only_step_has_no_salience_proxy():
+    """salience_routing=False builds no attention-mass proxy: the step
+    returns no scores and page_scores stay at their uniform init."""
+    _, _, b = _make()
+    assert b.salience_routing is False
+    before = b.page_scores.copy()
+    b.submit(Request("r", seq_len=8, num_steps=4))
+    b.run_until_drained()
+    np.testing.assert_array_equal(b.page_scores, before)

@@ -46,9 +46,9 @@ def test_sharded_matches_single_device(mesh_shape):
             Request("b", seq_len=4, num_steps=3),
             Request("c", seq_len=8, num_steps=9)]
     single = PagedContinuousBatcher(params, cfg, num_slots=4, seq_len=8,
-                                    page_size=4, seed=5)
+                                    page_size=4, seed=5, attend_mode="paged")
     sharded = ShardedPagedBatcher(params, cfg, mesh, num_slots=4, seq_len=8,
-                                  page_size=4, seed=5)
+                                  page_size=4, seed=5, attend_mode="paged")
     done_s = _drive(single, [Request(r.request_id, r.seq_len, r.num_steps)
                              for r in reqs])
     done_m = _drive(sharded, reqs)
@@ -70,9 +70,9 @@ def test_sharded_grouped_heads():
     cfg, params = _setup(num_heads=4, hidden=128)  # head_dim 32
     mesh = make_mesh((2, 2), devices=jax.devices()[:4])
     single = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=8,
-                                    page_size=8, seed=3)
+                                    page_size=8, seed=3, attend_mode="paged")
     sharded = ShardedPagedBatcher(params, cfg, mesh, num_slots=2, seq_len=8,
-                                  page_size=8, seed=3)
+                                  page_size=8, seed=3, attend_mode="paged")
     assert single.head_group == 4      # 128/32 lanes -> 4 heads per group
     assert sharded.head_group == 2     # 2 local heads per shard
     reqs = [Request("g", seq_len=8, num_steps=5)]
@@ -105,7 +105,7 @@ def test_sharded_state_shardings():
     cfg, params = _setup()
     mesh = make_mesh((2, 2), devices=jax.devices()[:4])
     b = ShardedPagedBatcher(params, cfg, mesh, num_slots=4, seq_len=8,
-                            page_size=4)
+                            page_size=4, attend_mode="paged")
     assert b.x.sharding.spec == jax.sharding.PartitionSpec("data", None, None)
     pool = b.pools[b.buckets[0]]
     assert pool["k_data"].sharding.spec[:2] == ("data", "model")
