@@ -1,0 +1,166 @@
+"""Long-sequence regime: where the paged quantized-KV path WINS.
+
+VERDICT r2 item 2: all serving benches ran S=128-256, where dense bf16
+attention is trivially cheap — the paged machinery's justification
+(SURVEY.md §5.7/§7: shrink cache reads, stream pages at long context;
+`/root/reference/diffuse-llm-rs/src/lib.rs:67-68` caps seq at 1024
+aspirationally) was never demonstrated. This bench measures, at
+S ∈ {1024, 2048, 4096}:
+
+  1. attention-op level: batched paged flash kernel (int4/int2 pools) vs
+     dense bf16 attention vs dense fake-quant (the attend_mode="dense"
+     reconstruction) — ms per attention call, scanned inside one jit;
+  2. KV memory: packed pool bytes vs bf16 KV bytes at the same shape.
+
+Prints one JSON line per row to stdout; diagnostics to stderr. Run on the
+real TPU: `python benchmarks/bench_longseq.py` (env: LONGSEQ_SLOTS,
+LONGSEQ_STEPS, LONGSEQ_SEQS comma-list).
+
+The measured crossover feeds PagedContinuousBatcher's attend_mode="auto"
+threshold (serving.py) and DESIGN.md's round-3 perf log.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("DLM_TPU_CACHE", "/tmp/dlm_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from diffusion_llm_rs_tpu.cache.paged import dequantize_page, quantize_page
+from diffusion_llm_rs_tpu.models import denoiser as dn
+from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
+    batched_paged_attention)
+
+B = int(os.environ.get("LONGSEQ_SLOTS", 2))
+N = int(os.environ.get("LONGSEQ_STEPS", 24))      # scanned reps per timing
+SEQS = [int(s) for s in
+        os.environ.get("LONGSEQ_SEQS", "1024,2048,4096").split(",")]
+H, Hd, G = 12, 64, 2                              # GPT-2 shape, grouped pages
+PG = 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args):
+    r = fn(*args)
+    jax.block_until_ready(r)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / N * 1e3                      # ms per call
+
+
+def make_pool(S, bits, key):
+    """Quantized K/V pools for B slots of S tokens (grouped layout, one
+    layer's worth — the per-layer cost is what we time)."""
+    nps = S // PG
+    vpb = 8 // bits
+    HG = H // G
+    kv = jax.random.normal(key, (2, B * nps, H, PG, Hd), jnp.float32)
+
+    def grouped(x):
+        d, s, z = quantize_page(x.reshape(B * nps * H, PG, Hd), bits)
+        d = d.reshape(B * nps, H, PG // vpb, Hd)
+        d = (d.reshape(B * nps, HG, G, PG // vpb, Hd)
+             .transpose(0, 1, 3, 2, 4).reshape(B * nps, HG, PG // vpb, G * Hd))
+        s = s.reshape(B * nps, HG, G * PG)
+        z = z.reshape(B * nps, HG, G * PG)
+        return d, s, z
+
+    kd, ks, kz = grouped(kv[0])
+    vd, vs, vz = grouped(kv[1])
+    pt = jnp.arange(B * nps, jnp.int32).reshape(B, nps)
+    nt = jnp.full((B, nps), PG, jnp.int32)
+    npg = jnp.full((B,), nps, jnp.int32)
+    return (kd, ks, kz, vd, vs, vz, pt, nt, npg)
+
+
+def main():
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    key = jax.random.PRNGKey(0)
+
+    for S in SEQS:
+        nps = S // PG
+        kq = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, Hd),
+                               jnp.bfloat16)
+        q4 = kq.transpose(0, 2, 1, 3)             # [B, S, H, Hd]
+        k4 = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, Hd),
+                               jnp.bfloat16)
+        v4 = jax.random.normal(jax.random.PRNGKey(3), (B, S, H, Hd),
+                               jnp.bfloat16)
+
+        # --- dense bf16 attention (no quantization) ---------------------
+        @jax.jit
+        def dense_scan(q, k, v):
+            def body(c, _):
+                o = dn.attention(c, k, v, None)
+                return c + 0.001 * o, None
+            out, _ = jax.lax.scan(body, q, None, length=N)
+            return out
+        dense_ms = timeit(dense_scan, q4, k4, v4)
+
+        # --- dense fake-quant int4 (attend_mode="dense" reconstruction) -
+        @jax.jit
+        def fq_scan(q, k, v):
+            def body(c, _):
+                def fq(z):
+                    zz = z.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+                    d, s, zp = quantize_page(zz, 4)
+                    out = dequantize_page(d, s, zp, 4)
+                    return (out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
+                            .astype(z.dtype))
+                o = dn.attention(c, fq(k), fq(v), None)
+                return c + 0.001 * o, None
+            out, _ = jax.lax.scan(body, q, None, length=N)
+            return out
+        fq_ms = timeit(fq_scan, q4, k4, v4)
+
+        row = {"seq_len": S, "batch": B,
+               "dense_bf16_ms": round(dense_ms, 3),
+               "dense_fakequant_int4_ms": round(fq_ms, 3)}
+
+        # --- paged kernel at int4 / int2 --------------------------------
+        for bits in (4, 2):
+            pool = make_pool(S, bits, key)
+            kd, ks, kz, vd, vs, vz, pt, nt, npg = pool
+
+            @jax.jit
+            def paged_scan(q, kd, ks, kz, vd, vs, vz):
+                def body(c, _):
+                    o = batched_paged_attention(
+                        c, pt, nt, npg, kd, ks, kz, vd, vs, vz,
+                        bits=bits, head_group=G)
+                    return c + 0.001 * o.astype(c.dtype), None
+                out, _ = jax.lax.scan(body, q, None, length=N)
+                return out
+            row[f"paged_int{bits}_ms"] = round(
+                timeit(paged_scan, kq, kd, ks, kz, vd, vs, vz), 3)
+            packed = sum(int(a.size) * a.dtype.itemsize
+                         for a in (kd, ks, kz, vd, vs, vz))
+            row[f"kv_bytes_int{bits}"] = packed
+
+        row["kv_bytes_bf16"] = 2 * B * S * H * Hd * 2
+        row["paged_int4_vs_dense_bf16"] = round(
+            row["dense_bf16_ms"] / row["paged_int4_ms"], 3)
+        log(f"S={S}: dense bf16 {dense_ms:.3f} ms, fake-quant int4 "
+            f"{fq_ms:.3f} ms, paged int4 {row['paged_int4_ms']:.3f} ms, "
+            f"paged int2 {row['paged_int2_ms']:.3f} ms")
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""True multi-process GSPMD validation (2 processes x 4 CPU devices).
+
+VERDICT r2 item 3: every multichip artifact so far ran ONE process over 8
+virtual CPU devices; `parallel/serving.py`'s claim that "each host runs this
+same program under jax.distributed.initialize" was untested prose. This
+script makes it real without a TPU pod:
+
+  - the parent spawns 2 child processes, each owning 4 virtual CPU devices;
+  - children call `jax.distributed.initialize` against a localhost
+    coordinator (Gloo CPU collectives), so `jax.process_count() == 2` and
+    the 8-device ('data','model') mesh SPANS THE PROCESS BOUNDARY —
+    the 'data' axis halves live in different OS processes;
+  - each child builds the same params/input from seeds, assembles global
+    arrays with `jax.make_array_from_callback` (each process serves only its
+    addressable shards), runs the sharded infer step and a short sharded
+    sample loop, and process-allgathers the results;
+  - every child checks the gathered output against a locally-computed
+    single-process reference (TP psum reassociation => 1e-4 tolerance).
+
+Run: `python scripts/multiprocess_check.py` (parent mode). Exit code 0 and
+a single JSON line on stdout on success; wired into `make multiproc` and CI.
+
+Reference mapping: the SyncManager's documented rank/world_size semantics
+(`/root/reference/diffuse-llm-rs/src/lib.rs:406-445`) realized as
+`jax.distributed.initialize` + one GSPMD program spanning processes
+(SURVEY.md §5.8; BASELINE config 5 "multi-host").
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NUM_PROC = 2
+LOCAL_DEVICES = 4
+
+
+def child(process_id: int, port: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # axon plugin ignores the env
+    jax.config.update("jax_num_cpu_devices", LOCAL_DEVICES)
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older/newer spelling; default implementation may still work
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=NUM_PROC,
+                               process_id=process_id)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diffusion_llm_rs_tpu.config import DiffusionConfig
+    from diffusion_llm_rs_tpu.models import denoiser as dn
+    from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule
+    from diffusion_llm_rs_tpu.parallel import mesh as pm
+
+    assert jax.process_count() == NUM_PROC, jax.process_count()
+    assert jax.local_device_count() == LOCAL_DEVICES
+    assert jax.device_count() == NUM_PROC * LOCAL_DEVICES
+
+    cfg = DiffusionConfig.tiny(vocab_size=128)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    mesh = pm.make_mesh((2, 4))
+    # the 'data' axis spans processes: its two rows live in different
+    # processes (mesh_utils orders local devices of process 0 first)
+    data_row_procs = {d.process_index for d in mesh.devices[0]} \
+        | {d.process_index for d in mesh.devices[1]}
+    assert data_row_procs == {0, 1}, mesh.devices
+
+    def globalize(arr, spec):
+        """Build a GLOBAL array on the process-spanning mesh: every process
+        holds the full value (same seeds) and serves its local shards."""
+        host = np.asarray(arr)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            host.shape, sh, lambda idx: host[idx])
+
+    gparams = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: globalize(
+            leaf, pm.spec_for_path(pm._path_str(path))), params)
+
+    B, S = 4, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.hidden_size),
+                          jnp.float32)
+    t = jnp.full((B,), 3, jnp.int32)
+    gx = globalize(x, P("data", None, None))
+    gt = globalize(t, P("data"))
+
+    # --- sharded infer step across the process boundary -----------------
+    infer = pm.make_sharded_infer_step(cfg, mesh)
+    out = infer(gparams, gx, gt)
+    assert len(out.sharding.device_set) == NUM_PROC * LOCAL_DEVICES
+    gathered = np.asarray(mhu.process_allgather(out, tiled=True))
+
+    ref = np.asarray(dn.denoiser_forward(params, cfg, x, t))
+    err = np.max(np.abs(gathered - ref))
+    assert err < 1e-4, f"infer mismatch: max abs err {err}"
+
+    # --- short sharded sampling loop (collectives every step) -----------
+    schedule = DiffusionSchedule.create(cfg.num_timesteps)
+    run = pm.make_sharded_sample_step(cfg, mesh, schedule)
+    xs = run(gparams, jax.random.PRNGKey(2), batch=4, seq_len=8, num_steps=4)
+    xs_h = np.asarray(mhu.process_allgather(xs, tiled=True))
+    assert xs_h.shape == (4, 8, cfg.hidden_size)
+    assert np.all(np.isfinite(xs_h))
+
+    print(f"CHILD {process_id} OK err={err:.2e}", flush=True)
+
+
+def parent() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", str(i),
+         str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(NUM_PROC)]
+    outs = []
+    ok = True
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            ok = False
+        outs.append((p.returncode, out, err))
+        if p.returncode != 0 or f"CHILD {i} OK" not in out:
+            ok = False
+    for i, (rc, out, err) in enumerate(outs):
+        print(f"--- process {i} rc={rc}\n{out}", file=sys.stderr)
+        if rc != 0:
+            print(err[-2000:], file=sys.stderr)
+    record = {"ok": ok, "processes": NUM_PROC,
+              "devices_per_process": LOCAL_DEVICES,
+              "mesh": "('data','model') = (2,4) spanning 2 OS processes",
+              "checks": ["sharded infer == single-process reference",
+                         "4-step sharded sample finite"]}
+    print(json.dumps(record), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        sys.exit(parent())
