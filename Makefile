@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: all native test bench dryrun clean
+.PHONY: all native test bench dryrun multiproc clean
 
 all: native
 
@@ -18,6 +18,10 @@ bench: native
 dryrun:
 	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 		$(PY) __graft_entry__.py 8
+
+# true multi-PROCESS GSPMD: 2 OS processes x 4 CPU devices, Gloo collectives
+multiproc:
+	$(PY) scripts/multiprocess_check.py
 
 clean:
 	rm -f csrc/libdlm_runtime.so

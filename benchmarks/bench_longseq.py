@@ -83,7 +83,7 @@ def make_pool(S, bits, key):
 
     kd, ks, kz = grouped(kv[0])
     vd, vs, vz = grouped(kv[1])
-    pt = jnp.arange(B * nps, jnp.int32).reshape(B, nps)
+    pt = jnp.arange(B * nps, dtype=jnp.int32).reshape(B, nps)
     nt = jnp.full((B, nps), PG, jnp.int32)
     npg = jnp.full((B,), nps, jnp.int32)
     return (kd, ks, kz, vd, vs, vz, pt, nt, npg)
