@@ -38,7 +38,8 @@ def measure(n_devices: int) -> float:
     dp, tp = mesh.devices.shape
     cfg = DiffusionConfig(num_timesteps=50, hidden_size=256,
                           num_layers=4, num_attention_heads=max(tp, 4),
-                          vocab_size=1024, max_sequence_length=SEQ)
+                          vocab_size=1024, max_sequence_length=SEQ,
+                          dtype="float32")  # CPU mesh: no bf16 CPU dots
     params = pm.shard_params(
         dn.init_denoiser_params(jax.random.PRNGKey(0), cfg), mesh)
     batch = 4 * dp
@@ -69,7 +70,8 @@ def measure_serving(n_devices: int) -> float:
     dp, tp = mesh.devices.shape
     cfg = DiffusionConfig(num_timesteps=50, hidden_size=256,
                           num_layers=4, num_attention_heads=max(tp, 4),
-                          vocab_size=1024, max_sequence_length=SEQ)
+                          vocab_size=1024, max_sequence_length=SEQ,
+                          dtype="float32")
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
     num_slots = 4 * dp
     b = ShardedPagedBatcher(params, cfg, mesh, num_slots=num_slots,
@@ -105,12 +107,19 @@ def main():
     eff = {k: round(v / (int(k) * base), 3) for k, v in results.items()}
     sbase = serving[str(sizes[0])] / sizes[0]
     seff = {k: round(v / (int(k) * sbase), 3) for k, v in serving.items()}
-    print(json.dumps({"metric": "sharded denoise-step tokens/s by mesh size",
-                      "tokens_per_sec": results,
-                      "scaling_efficiency": eff,
-                      "serving_tokens_per_sec": serving,
-                      "serving_scaling_efficiency": seff,
-                      "backend": jax.default_backend()}))
+    record = {"metric": "sharded denoise-step tokens/s by mesh size",
+              "tokens_per_sec": results,
+              "scaling_efficiency": eff,
+              "serving_tokens_per_sec": serving,
+              "serving_scaling_efficiency": seff,
+              "backend": jax.default_backend()}
+    print(json.dumps(record))
+    # persist as a round artifact (VERDICT r2 item 9): multi-device trends
+    # survive rounds the way BENCH_r0N.json does
+    out = os.environ.get("SCALING_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ from the weight-tied readout (the commented-out intent at
 from __future__ import annotations
 
 import functools
+import os
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -194,6 +195,35 @@ class Engine:
                 _prep, self.params,
                 is_leaf=lambda l: isinstance(l, QuantizedTensor))
         self._weight_bits = bits
+
+    @classmethod
+    def from_pretrained(cls, path: Optional[str] = None, **kw) -> "Engine":
+        """Engine serving the shipped pretrained anchor: config, tokenizer
+        and trained weights bundled in one checkpoint (written by
+        benchmarks/bench_quality.py). This is the facade's honest demo
+        path — `generate()` produces corpus-plausible continuations instead
+        of random-init noise — mirroring the reference's
+        `DiffusionPrefill::new` loading a real tokenizer+model
+        (`diffusion_prefill/src/lib.rs:69-89`).
+
+        `path` is the checkpoint stem (expects `<path>.npz`, `<path>.json`,
+        and the tokenizer file named in the metadata next to it); defaults
+        to the repo's `benchmarks/quality_anchor`.
+        """
+        from diffusion_llm_rs_tpu.models import denoiser as dn
+        from diffusion_llm_rs_tpu.utils.serialization import (get_metadata,
+                                                              load_checkpoint)
+        if path is None:
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "benchmarks", "quality_anchor")
+        meta = get_metadata(path)
+        cfg = DiffusionConfig(**meta["config"])
+        tokenizer = BPETokenizer.load(
+            os.path.join(os.path.dirname(path), meta["tokenizer"]))
+        like = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+        params = load_checkpoint(path, like=like)
+        return cls(config=cfg, tokenizer=tokenizer, params=params, **kw)
 
     def _invalidate_param_memos(self) -> None:
         """Drop every cache keyed on (or derived from) self.params."""

@@ -132,7 +132,7 @@ def _kernel(pt_ref,                                  # scalar prefetch [n_pages]
     out_ref[0] = (acc / l).astype(out_ref.dtype)
     # log-sum-exp residual enables exact flash-merge of partial results
     # (mixed-precision page chains run one kernel call per bit bucket)
-    lse_ref[...] = (m + jnp.log(l)).reshape(1, 1, -1)
+    lse_ref[...] = (m + jnp.log(l)).reshape(1, 1, 1, -1)
 
 
 @functools.partial(jax.jit,
@@ -200,9 +200,11 @@ def paged_attention(
         out_specs=[
             pl.BlockSpec((1, TQ, D), lambda b, i, *_: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            # lse kept 3-D: a (1, TQ) block over [BH, Sq] violates the
-            # (8, 128) tiling rule when BH > 1; (1, 1, TQ) is always legal
-            pl.BlockSpec((1, 1, TQ), lambda b, i, *_: (b, i, 0),
+            # lse kept 4-D with a unit axis before the lane axis: the last
+            # TWO block dims must be (divisible by (8,128)) or equal to the
+            # array dims — (1, TQ) over a unit dim is always legal, even
+            # when Sq/TQ > 1 (long sequences)
+            pl.BlockSpec((1, 1, 1, TQ), lambda b, i, *_: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -219,7 +221,7 @@ def paged_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((BH, Sq, D), jnp.float32),
-                   jax.ShapeDtypeStruct((BH, Sq // TQ, TQ), jnp.float32)],
+                   jax.ShapeDtypeStruct((BH, Sq // TQ, 1, TQ), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(page_table.astype(jnp.int32), page_tokens.astype(jnp.int32),
@@ -407,7 +409,7 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
         lses.append(jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF))
     out_ref[0, 0] = acc_total.astype(out_ref.dtype)
     # lse lanes: head g's TQ values at [g*TQ, (g+1)*TQ)
-    lse_ref[...] = jnp.concatenate(lses, axis=0).reshape(1, 1, 1, -1)
+    lse_ref[...] = jnp.concatenate(lses, axis=0).reshape(1, 1, 1, 1, -1)
 
 
 def degroup_pool(data: jax.Array, G: int):
@@ -503,7 +505,10 @@ def batched_paged_attention(
         out_specs=[
             pl.BlockSpec((1, 1, TQ, GD), lambda b, h, i, *_: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, G * TQ), lambda b, h, i, *_: (b, h, i, 0),
+            # unit axis before the lanes keeps the (8, 128)-tiling rule
+            # satisfied when Sq/TQ > 1 (see the single-sequence kernel)
+            pl.BlockSpec((1, 1, 1, 1, G * TQ),
+                         lambda b, h, i, *_: (b, h, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -520,7 +525,7 @@ def batched_paged_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, HG, Sq, GD), jnp.float32),
-                   jax.ShapeDtypeStruct((B, HG, Sq // TQ, G * TQ),
+                   jax.ShapeDtypeStruct((B, HG, Sq // TQ, 1, G * TQ),
                                         jnp.float32)],
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -55,7 +55,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                  page_size: Optional[int] = None,
                  salience_routing: bool = False, salience_ema: float = 0.8,
                  max_chunk: int = 32, attend_mode: str = "auto",
-                 keep_embeddings: bool = True):
+                 keep_embeddings: bool = True,
+                 hbm_budget_bytes: Optional[int] = None,
+                 memory_manager=None):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
@@ -69,7 +71,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                          page_size, salience_routing=salience_routing,
                          salience_ema=salience_ema, max_chunk=max_chunk,
                          attend_mode=attend_mode,
-                         keep_embeddings=keep_embeddings)
+                         keep_embeddings=keep_embeddings,
+                         hbm_budget_bytes=hbm_budget_bytes,
+                         memory_manager=memory_manager)
         HG = cfg.num_attention_heads // self.head_group
         if HG % self.tp:
             raise ValueError(f"head groups {HG} not divisible by model axis "
@@ -79,7 +83,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         # re-place slot state + pools with their mesh shardings
         self.x = jax.device_put(
             self.x, NamedSharding(mesh, P("data", None, None)))
-        self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+        if self.attend_mode == "paged":
+            self.pools = {bits: self._make_pool(bits)
+                          for bits in self.buckets}
 
     def _choose_head_group(self) -> int:
         g = super()._choose_head_group()
@@ -93,6 +99,16 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         pool = super()._make_pool(bits)
         if not hasattr(self, "mesh"):  # during super().__init__
             return pool
+        mesh = self.mesh
+
+        def place(a):
+            spec = P("data", "model", *([None] * (a.ndim - 2)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return {k: place(v) for k, v in pool.items()}
+
+    def _place_pool(self, pool):
+        """Pools restored from the host tier go back with mesh shardings."""
         mesh = self.mesh
 
         def place(a):

@@ -524,7 +524,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  salience_ema: float = 0.8,
                  max_chunk: int = 32,
                  attend_mode: str = "auto",
-                 keep_embeddings: bool = True):
+                 keep_embeddings: bool = True,
+                 hbm_budget_bytes: Optional[int] = None,
+                 memory_manager=None):
         self.page_size = page_size or min(seq_len, 64)
         # fused steps per dispatch; chunk lengths are pow2-bucketed, so at
         # most log2(max_chunk)+1 chunk programs ever compile per bucket set
@@ -555,7 +557,19 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.head_group = self._choose_head_group()
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
                          keep_embeddings=keep_embeddings)
-        self.pools = {bits: self._make_pool(bits) for bits in self.buckets}
+        # dense mode never reads the pools — allocate none (saves the HBM)
+        self.pools = ({bits: self._make_pool(bits) for bits in self.buckets}
+                      if self.attend_mode == "paged" else {})
+        # HBM budget for the pools: idle buckets spill to the tiered
+        # MemoryManager (host RAM, demoting to disk under ITS budgets) and
+        # restore when the bit router needs them again — the reference
+        # README's "HBM and host memory with smart swapping" promise
+        # (`/root/reference/README.md:18,31`) inside the production path.
+        self.hbm_budget = hbm_budget_bytes
+        self.memory = memory_manager
+        if self.hbm_budget is not None and self.memory is None:
+            from diffusion_llm_rs_tpu.cache.memory_manager import MemoryManager
+            self.memory = MemoryManager()
         # per-page attention-mass EMA (host side) driving salience routing
         self.page_scores = np.full((num_slots, self.num_pages_per_slot),
                                    1.0 / self.num_pages_per_slot, np.float32)
@@ -757,6 +771,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.int32)
         page_bits_np = self._route_page_bits(active_mask)
         used = self._used_buckets(page_bits_np, active_mask)
+        self._ensure_pools(used)
         out = self._step_fn(
             self.params, self.x, jnp.asarray(self.t),
             jnp.asarray(active_mask), seq_lens,
@@ -813,6 +828,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             [r.seq_len if r is not None else 0 for r in self.slot_request],
             jnp.int32)
         used = self._used_buckets_chunk(active_mask, totals, c)
+        self._ensure_pools(used)
         if self._chunk_fn is None:
             self._chunk_fn = self._build_chunk()
         # per-(step, slot) keys are split INSIDE the chunk — same sequence
@@ -829,7 +845,56 @@ class PagedContinuousBatcher(ContinuousBatcher):
         return n_active
 
     def cache_memory_bytes(self) -> int:
-        """HBM bytes held by the page pools (packed data + sidecars) — the
-        reference's `kv_cache_memory_usage` metric (`lib.rs:1082-1084`)."""
+        """HBM bytes held by the RESIDENT page pools (packed data +
+        sidecars) — the reference's `kv_cache_memory_usage` metric
+        (`lib.rs:1082-1084`). Spilled buckets live in the MemoryManager's
+        host/disk tiers and are not counted here."""
         return sum(int(a.size) * a.dtype.itemsize
                    for pool in self.pools.values() for a in pool.values())
+
+    # -- HBM-budget pool tiering ---------------------------------------------
+
+    _POOL_FIELDS = ("k_data", "v_data", "k_scale", "k_zp", "v_scale", "v_zp")
+
+    def _pool_key(self, bits: int, name: str) -> str:
+        return f"kvpool:{id(self)}:{bits}:{name}"
+
+    def _place_pool(self, pool: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        """Device placement hook for restored pools (sharded override)."""
+        return pool
+
+    def spilled_buckets(self) -> Tuple[int, ...]:
+        return tuple(b for b in self.buckets if b not in self.pools) \
+            if self.attend_mode == "paged" else ()
+
+    def _spill_bucket(self, bits: int) -> None:
+        pool = self.pools.pop(bits)
+        for name, arr in pool.items():
+            self.memory.allocate(self._pool_key(bits, name),
+                                 np.asarray(arr), tier="host")
+        metrics.inc("batcher.pool_spills")
+
+    def _restore_bucket(self, bits: int) -> None:
+        pool = {}
+        for name in self._POOL_FIELDS:
+            key = self._pool_key(bits, name)
+            pool[name] = jnp.asarray(self.memory.get(key))
+            self.memory.deallocate(key)
+        self.pools[bits] = self._place_pool(pool)
+        metrics.inc("batcher.pool_restores")
+
+    def _ensure_pools(self, used: Tuple[int, ...]) -> None:
+        """Under an HBM budget: restore the buckets this dispatch reads,
+        then spill the widest idle buckets until the resident pools fit.
+        Diffusion rewrites every page each step, so spilled pool CONTENT is
+        never live — only capacity moves between tiers; trajectories are
+        bit-identical with or without a budget. Best-effort: the used
+        buckets always stay resident even if they alone exceed the budget."""
+        if self.attend_mode != "paged" or self.hbm_budget is None:
+            return
+        for bits in used:
+            if bits not in self.pools:
+                self._restore_bucket(bits)
+        idle = [b for b in sorted(self.pools) if b not in used]
+        while self.cache_memory_bytes() > self.hbm_budget and idle:
+            self._spill_bucket(idle.pop())   # widest idle pool first

@@ -46,14 +46,15 @@ def main():
 
     print("1) paged quantized-KV serving (phase-aware per-slot bits)")
     b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=16,
-                               page_size=8)
+                               page_size=8, attend_mode="paged")
     drive(b, "phase-")
     print(f"  KV pool HBM: {b.cache_memory_bytes()} bytes "
           f"(buckets {b.buckets})")
 
     print("2) salience-routed per-page precision")
     bs = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=16,
-                                page_size=8, salience_routing=True)
+                                page_size=8, salience_routing=True,
+                                attend_mode="paged")
     drive(bs, "salient-")
     print(f"  page attention-mass EMA (slot 0): {bs.page_scores[0].round(3)}")
 

@@ -251,3 +251,45 @@ def test_phase_only_step_has_no_salience_proxy():
     b.submit(Request("r", seq_len=8, num_steps=4))
     b.run_until_drained()
     np.testing.assert_array_equal(b.page_scores, before)
+
+
+def test_hbm_budget_spills_idle_buckets_bit_exactly():
+    """Under an HBM budget, idle bit buckets' pools move to the
+    MemoryManager's host tier and restore when the phase router needs them;
+    trajectories are BIT-IDENTICAL to the unbudgeted run (diffusion rewrites
+    every page each step — spilled pool CONTENT is never live, only
+    capacity moves between tiers). Reference README's HBM/host swapping
+    promise inside the production path (`/root/reference/README.md:18,31`)."""
+    from diffusion_llm_rs_tpu.utils.metrics import metrics
+
+    def run(budget):
+        cfg = DiffusionConfig.tiny(vocab_size=128)
+        params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+        b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=8,
+                                   page_size=4, seed=3, attend_mode="paged",
+                                   hbm_budget_bytes=budget, max_chunk=4)
+        # T=50 -> phase switch at 25: steps 30 starts in the 8-bit prefill
+        # bucket, ends in decode buckets -> bucket residency must change
+        b.submit(Request("a", seq_len=8, num_steps=30))
+        done = b.run_until_drained()
+        return b, {c.request_id: c.embeddings for c in done}
+
+    b_free, out_free = run(None)
+    assert b_free.spilled_buckets() == ()
+    one_pool = b_free.cache_memory_bytes() // len(b_free.buckets)
+    spills_before = metrics.get("batcher.pool_spills")
+    b_tight, out_tight = run(one_pool + 1)   # room for ~one bucket
+    assert metrics.get("batcher.pool_spills") > spills_before
+    assert metrics.get("batcher.pool_restores") > 0
+    assert b_tight.spilled_buckets()         # something ended up spilled
+    assert b_tight.cache_memory_bytes() < b_free.cache_memory_bytes()
+    np.testing.assert_array_equal(out_free["a"], out_tight["a"])
+
+
+def test_dense_mode_allocates_no_pools():
+    _, _, b = _make(attend_mode="auto")
+    assert b.attend_mode == "dense"
+    assert b.pools == {} and b.cache_memory_bytes() == 0
+    b.submit(Request("d", seq_len=8, num_steps=3))
+    done = b.run_until_drained()
+    assert len(done) == 1 and np.all(np.isfinite(done[0].embeddings))
