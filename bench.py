@@ -211,6 +211,18 @@ def main():
                                    f"{label} fused 12-step", steps=12)
         record["paged_serving_tokens_per_sec"] = round(serve_tps, 2)
         record["serving_vs_fused"] = round(serve_tps / fused_tps, 4)
+        if os.environ.get("BENCH_LONGSEQ", "1") == "1":
+            # long-context regime (VERDICT r2 item 2): paged int4 attention
+            # vs dense bf16 and vs the fake-quant dense reconstruction at
+            # S=4096 — the paged path's winning regime (LONGSEQ_r03.json
+            # has the full 1k/2k/4k/8k sweep)
+            from benchmarks.bench_longseq import run_row
+            row = run_row(4096, bits_list=(4,))
+            log(f"longseq S=4096: {row}")
+            record["longseq4k_paged_vs_dense_bf16"] = \
+                row["paged_int4_vs_dense_bf16"]
+            record["longseq4k_paged_vs_fakequant"] = \
+                row["paged_int4_vs_fakequant"]
 
     print(json.dumps(record), flush=True)
 

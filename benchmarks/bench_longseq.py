@@ -89,11 +89,10 @@ def make_pool(S, bits, key):
     return (kd, ks, kz, vd, vs, vz, pt, nt, npg)
 
 
-def main():
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+def run_row(S, bits_list=(4, 2)):
+    """Measure one sequence length; returns the JSON row dict."""
     key = jax.random.PRNGKey(0)
-
-    for S in SEQS:
+    if True:
         nps = S // PG
         kq = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, Hd),
                                jnp.bfloat16)
@@ -133,8 +132,8 @@ def main():
                "dense_bf16_ms": round(dense_ms, 3),
                "dense_fakequant_int4_ms": round(fq_ms, 3)}
 
-        # --- paged kernel at int4 / int2 --------------------------------
-        for bits in (4, 2):
+        # --- paged kernel at each bit width -----------------------------
+        for bits in bits_list:
             pool = make_pool(S, bits, key)
             kd, ks, kz, vd, vs, vz, pt, nt, npg = pool
 
@@ -156,10 +155,19 @@ def main():
         row["kv_bytes_bf16"] = 2 * B * S * H * Hd * 2
         row["paged_int4_vs_dense_bf16"] = round(
             row["dense_bf16_ms"] / row["paged_int4_ms"], 3)
+        row["paged_int4_vs_fakequant"] = round(
+            row["dense_fakequant_int4_ms"] / row["paged_int4_ms"], 3)
         log(f"S={S}: dense bf16 {dense_ms:.3f} ms, fake-quant int4 "
-            f"{fq_ms:.3f} ms, paged int4 {row['paged_int4_ms']:.3f} ms, "
-            f"paged int2 {row['paged_int2_ms']:.3f} ms")
-        print(json.dumps(row), flush=True)
+            f"{fq_ms:.3f} ms, paged int4 {row['paged_int4_ms']:.3f} ms"
+            + (f", paged int2 {row['paged_int2_ms']:.3f} ms"
+               if "paged_int2_ms" in row else ""))
+        return row
+
+
+def main():
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    for S in SEQS:
+        print(json.dumps(run_row(S)), flush=True)
 
 
 if __name__ == "__main__":

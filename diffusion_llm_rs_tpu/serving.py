@@ -534,13 +534,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._chunk_fn: Optional[Callable] = None
         # attend_mode: "dense" reconstructs the (identically) quantized K/V
         # and runs one dense attention — fastest at short S; "paged" streams
-        # the packed page pools through the gather kernel — wins once
-        # quantized KV reads dominate (long S). "auto" picks by seq_len
-        # (crossover measured in benchmarks/bench_longseq.py, DESIGN.md).
+        # the packed page pools through the gather kernel — wins once the
+        # fake-quant reconstruction's fp intermediates dominate HBM traffic.
+        # Measured crossover on v5e (benchmarks/bench_longseq.py,
+        # LONGSEQ_r03.json): dense wins to S=2048 (2.16 vs 2.45 ms), paged
+        # wins 2x at S=4096 (6.5 vs 12.7 ms) — "auto" switches at 3072.
         if attend_mode not in ("auto", "dense", "paged"):
             raise ValueError(f"unknown attend_mode {attend_mode!r}")
         if attend_mode == "auto":
-            attend_mode = "paged" if seq_len >= 1024 else "dense"
+            attend_mode = "paged" if seq_len >= 3072 else "dense"
         self.attend_mode = attend_mode
         if seq_len % self.page_size:
             raise ValueError(f"seq_len {seq_len} not divisible by page_size "
