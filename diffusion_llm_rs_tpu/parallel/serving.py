@@ -57,7 +57,8 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                  max_chunk: int = 32, attend_mode: str = "auto",
                  keep_embeddings: bool = True,
                  hbm_budget_bytes: Optional[int] = None,
-                 memory_manager=None):
+                 memory_manager=None,
+                 sanitize: Optional[bool] = None):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
@@ -73,7 +74,7 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                          attend_mode=attend_mode,
                          keep_embeddings=keep_embeddings,
                          hbm_budget_bytes=hbm_budget_bytes,
-                         memory_manager=memory_manager)
+                         memory_manager=memory_manager, sanitize=sanitize)
         HG = cfg.num_attention_heads // self.head_group
         if HG % self.tp:
             raise ValueError(f"head groups {HG} not divisible by model axis "

@@ -39,6 +39,9 @@ from diffusion_llm_rs_tpu.models.sampler import SUPPORTED, bucket_bits
 from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
     batched_paged_attention, merge_partials)
 from diffusion_llm_rs_tpu.utils.metrics import metrics
+from diffusion_llm_rs_tpu.utils.sanitize import (ReentrancyGuard,
+                                                 check_scheduler_invariants,
+                                                 sanitize_enabled)
 
 
 @dataclasses.dataclass
@@ -66,7 +69,8 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: DiffusionConfig,
                  schedule: Optional[DiffusionSchedule] = None,
                  num_slots: int = 8, seq_len: int = 64, seed: int = 0,
-                 keep_embeddings: bool = True):
+                 keep_embeddings: bool = True,
+                 sanitize: Optional[bool] = None):
         self.params = params
         # readout (decode_tokens) params — the sharded subclass re-packs
         # self.params for its step fn but keeps the original tree here
@@ -91,6 +95,11 @@ class ContinuousBatcher:
         self.completions: Deque[Completion] = deque()
         self._decode_fn: Optional[Callable] = None
         self._admit_fn: Optional[Callable] = None
+        # sanitizers (utils/sanitize.py, SURVEY.md §5.2): the host loop is
+        # single-threaded by design — the guard turns the forbidden race
+        # into a loud error; invariants check the slot state machine
+        self.sanitize = sanitize_enabled() if sanitize is None else sanitize
+        self._guard = ReentrancyGuard("batcher.step")
         self._step_fn = self._build_step()
 
     # -- jitted batched denoise step ----------------------------------------
@@ -166,8 +175,16 @@ class ContinuousBatcher:
                                slot_keys)
 
     def step(self) -> int:
-        """Admit, run ONE denoise step over the batch, retire finished slots.
-        Returns the number of active slots stepped."""
+        """Admit, run denoise step(s), retire finished slots. Returns the
+        number of active slots stepped. Guarded against concurrent entry;
+        with `sanitize` on, slot-state invariants are checked after."""
+        with self._guard():
+            n = self._step_impl()
+        if self.sanitize:
+            check_scheduler_invariants(self)
+        return n
+
+    def _step_impl(self) -> int:
         self._admit()
         active_mask = self.t >= 0
         n_active = int(active_mask.sum())
@@ -526,7 +543,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  attend_mode: str = "auto",
                  keep_embeddings: bool = True,
                  hbm_budget_bytes: Optional[int] = None,
-                 memory_manager=None):
+                 memory_manager=None,
+                 sanitize: Optional[bool] = None):
         self.page_size = page_size or min(seq_len, 64)
         # fused steps per dispatch; chunk lengths are pow2-bucketed, so at
         # most log2(max_chunk)+1 chunk programs ever compile per bucket set
@@ -558,7 +576,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.cfg = cfg
         self.head_group = self._choose_head_group()
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
-                         keep_embeddings=keep_embeddings)
+                         keep_embeddings=keep_embeddings, sanitize=sanitize)
         # dense mode never reads the pools — allocate none (saves the HBM)
         self.pools = ({bits: self._make_pool(bits) for bits in self.buckets}
                       if self.attend_mode == "paged" else {})
@@ -569,6 +587,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # (`/root/reference/README.md:18,31`) inside the production path.
         self.hbm_budget = hbm_budget_bytes
         self.memory = memory_manager
+        self._spilled: set = set()   # buckets accounted to the host tier
         if self.hbm_budget is not None and self.memory is None:
             from diffusion_llm_rs_tpu.cache.memory_manager import MemoryManager
             self.memory = MemoryManager()
@@ -811,12 +830,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
             used.update(int(v) for v in np.unique(bits[step_active]))
         return tuple(b for b in self.buckets if b in used) or (self.buckets[0],)
 
-    def step(self) -> int:
+    def _step_impl(self) -> int:
         """Admit, then run a CHUNK of fused denoise steps in one dispatch
         (salience routing needs per-step host feedback, so it keeps the
         per-step path). Returns the number of active slots stepped."""
         if self.salience_routing or self.max_chunk <= 1:
-            return super().step()
+            return super()._step_impl()
         self._admit()
         active_mask = self.t >= 0
         n_active = int(active_mask.sum())
@@ -866,14 +885,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
         return pool
 
     def spilled_buckets(self) -> Tuple[int, ...]:
-        return tuple(b for b in self.buckets if b not in self.pools) \
-            if self.attend_mode == "paged" else ()
+        return tuple(sorted(self._spilled))
 
     def _spill_bucket(self, bits: int) -> None:
         pool = self.pools.pop(bits)
         for name, arr in pool.items():
             self.memory.allocate(self._pool_key(bits, name),
                                  np.asarray(arr), tier="host")
+        self._spilled.add(bits)
         metrics.inc("batcher.pool_spills")
 
     def _restore_bucket(self, bits: int) -> None:
@@ -883,6 +902,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             pool[name] = jnp.asarray(self.memory.get(key))
             self.memory.deallocate(key)
         self.pools[bits] = self._place_pool(pool)
+        self._spilled.discard(bits)
         metrics.inc("batcher.pool_restores")
 
     def _ensure_pools(self, used: Tuple[int, ...]) -> None:
