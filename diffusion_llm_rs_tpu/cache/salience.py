@@ -165,13 +165,60 @@ def allocate_bits(scores, budget_bits: float,
         return np.zeros((0,), np.int32)
     bits = np.full(n, opts[0], np.int32)
     # visit blocks most-salient first; give each the highest width the
-    # remaining budget affords (later blocks keep at least the floor width)
-    extra = budget_bits * n - float(bits.sum())
+    # remaining budget affords (later blocks keep at least the floor width).
+    # f32 accumulator: bit-for-bit the same arithmetic as the on-device twin
+    # `allocate_bits_jnp`, so the fused serving chunk routes identically.
+    extra = np.float32(np.float32(budget_bits) * n) - np.float32(bits.sum())
     for i in np.argsort(-scores, kind="stable"):
         for level in reversed(opts):
-            delta = level - bits[i]
+            delta = np.float32(level - bits[i])
             if delta <= extra:
                 bits[i] = level
-                extra -= delta
+                extra = np.float32(extra - delta)
                 break
     return bits
+
+
+def allocate_bits_jnp(scores, budget_bits, valid=None,
+                      bit_options: Sequence[int] = (8, 4, 2, 1)):
+    """On-device twin of `allocate_bits` (jit/scan-safe), used by the fused
+    serving chunk to re-route per-page precision every scan step without a
+    host round trip. Same greedy, same visiting order (stable descending
+    sort), same f32 budget arithmetic — bit-identical assignments.
+
+    `scores` [n] f32; `budget_bits` scalar; `valid` optional [n] bool —
+    invalid blocks are skipped entirely (sorted last, zero budget impact,
+    floor width returned), mirroring the host path's slicing to the active
+    page count. Returns int32 [n].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    opts = tuple(sorted(set(int(b) for b in bit_options)))
+    n = scores.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # invalid blocks sort last (score -inf) and are never upgraded
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), stable=True)
+    floor = jnp.int32(opts[0])
+    extra0 = (jnp.float32(budget_bits) * n_valid.astype(jnp.float32)
+              - (floor * n_valid).astype(jnp.float32))
+
+    def body(extra, idx):
+        ok = valid[idx]
+        level = floor
+        taken = jnp.float32(0.0)
+        done = jnp.logical_not(ok)
+        for lv in reversed(opts):       # highest affordable width wins
+            delta = jnp.float32(lv - opts[0])
+            afford = jnp.logical_and(jnp.logical_not(done), delta <= extra)
+            level = jnp.where(afford, jnp.int32(lv), level)
+            taken = jnp.where(afford, delta, taken)
+            done = jnp.logical_or(done, afford)
+        return extra - taken, (idx, level)
+
+    _, (idxs, levels) = jax.lax.scan(body, extra0, order)
+    out = jnp.zeros((n,), jnp.int32).at[idxs].set(levels)
+    return out

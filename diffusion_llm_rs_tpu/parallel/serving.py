@@ -215,15 +215,26 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         slot_bits_fn = self._slot_bits
         make_attend = self._make_attend
         mdt = self._model_dtype
+        salience = self.salience_routing
+        ema = self.salience_ema
+        Pg = self.page_size
+        opts = tuple(b for b in self.buckets if b >= 2) or self.buckets
+
+        from diffusion_llm_rs_tpu.cache.salience import allocate_bits_jnp
+        from diffusion_llm_rs_tpu.serving import make_slot_budget_router
+        budget_fn = make_slot_budget_router(cfg)
 
         def local_chunk(params_stacked, x, rng, t0, totals, seq_lens,
-                        pools, used, n_steps):
+                        scores, pools, used, n_steps):
             params_local = jax.tree_util.tree_map(lambda l: l[0],
                                                   params_stacked)
             shard = jax.lax.axis_index("data")
+            nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
+            page_valid = (jnp.arange(nps, dtype=jnp.int32)[None, :]
+                          < nps_actual[:, None])
 
             def body(carry, _):
-                x, t, rng, pools = carry
+                x, t, rng, scores, pools = carry
                 # every shard advances the SAME global key chain (splits are
                 # deterministic), then takes its own slots' keys — bit-equal
                 # per-slot noise to the single-device batcher
@@ -233,11 +244,19 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                     step_keys, shard * B_loc, B_loc)
                 active = t >= 0
                 t_clamped = jnp.maximum(t, 0).astype(jnp.int32)
-                bits = slot_bits_fn(t_clamped, totals)
-                page_bits = jnp.broadcast_to(bits[:, None], (B_loc, nps))
+                if salience:
+                    budget = budget_fn(t_clamped, totals)
+                    page_bits = jax.vmap(
+                        lambda s, b, v: allocate_bits_jnp(
+                            s, b, valid=v, bit_options=opts)
+                    )(scores, budget, page_valid)
+                else:
+                    bits = slot_bits_fn(t_clamped, totals)
+                    page_bits = jnp.broadcast_to(bits[:, None], (B_loc, nps))
                 pools = {b: dict(p) for b, p in pools.items()}
+                scores_acc = [] if salience else None
                 attend_fn = make_attend(pools, page_bits, active, seq_lens,
-                                        None, used, B=B_loc, H=H_loc,
+                                        scores_acc, used, B=B_loc, H=H_loc,
                                         pt=pt_local)
                 eps = tp_denoiser_forward(params_local, cfg, x.astype(mdt),
                                           t_clamped, tp, "model",
@@ -249,16 +268,20 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                                   eps.astype(x.dtype), noise=noise)
                 x = jnp.where(active.reshape(-1, 1, 1), x_next, x)
                 t = jnp.where(active, t - 1, t)
-                return (x, t, rng, pools), None
+                if salience:
+                    step_scores = jax.lax.pmean(
+                        jnp.mean(jnp.stack(scores_acc), axis=0), "model")
+                    scores = ema * scores + (1.0 - ema) * step_scores
+                return (x, t, rng, scores, pools), None
 
-            (x, _, rng, pools), _ = jax.lax.scan(
-                body, (x, t0, rng, pools), None, length=n_steps)
-            return x, rng, pools
+            (x, _, rng, scores, pools), _ = jax.lax.scan(
+                body, (x, t0, rng, scores, pools), None, length=n_steps)
+            return x, rng, scores, pools
 
         jitted: dict = {}
 
-        def run(params_stacked, x, rng, t0, totals, seq_lens, pools, used,
-                n_steps):
+        def run(params_stacked, x, rng, t0, totals, seq_lens, scores,
+                pools, used, n_steps):
             key = (jax.tree_util.tree_structure(params_stacked), used,
                    n_steps)
             if key not in jitted:
@@ -273,11 +296,13 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                     functools.partial(local_chunk, used=used,
                                       n_steps=n_steps), mesh=mesh,
                     in_specs=(pspecs, P("data", None, None), P(),
-                              P("data"), P("data"), P("data"), pool_specs),
-                    out_specs=(P("data", None, None), P(), pool_specs),
+                              P("data"), P("data"), P("data"),
+                              P("data", None), pool_specs),
+                    out_specs=(P("data", None, None), P(),
+                               P("data", None), pool_specs),
                     check_vma=False)
-                jitted[key] = jax.jit(sm, donate_argnums=(6,))
+                jitted[key] = jax.jit(sm, donate_argnums=(7,))
             return jitted[key](params_stacked, x, rng, t0, totals, seq_lens,
-                               pools)
+                               scores, pools)
 
         return run

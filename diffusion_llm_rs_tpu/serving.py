@@ -291,6 +291,34 @@ def make_slot_bits_router(cfg: DiffusionConfig):
     return widths, fn
 
 
+def make_slot_budget_router(cfg: DiffusionConfig):
+    """Device twin of `slot_phase_bits_np`'s FLOAT budget column: the
+    per-slot average-bits budget the salience allocator spends across the
+    slot's pages (prefill bits while t > total/2, then the progressive
+    interpolation target). Used by the fused salience chunk."""
+    qc = cfg.quant_config
+    if not cfg.use_phase_aware_quant:
+        b = float(bucket_bits(cfg.kv_quant_bits or 8))
+        return lambda t, total: jnp.full(t.shape, b, jnp.float32)
+    db = bucket_bits(qc.decode_bits)
+
+    def fn(t: jax.Array, total: jax.Array) -> jax.Array:
+        half = total // 2
+        if qc.progressive_precision:
+            progress = jnp.clip(
+                (half - t).astype(jnp.float32) /
+                jnp.maximum(half, 1).astype(jnp.float32), 0.0, 1.0)
+            target = jnp.maximum(
+                qc.decode_bits * (1.0 - progress) +
+                qc.min_decode_bits * progress, float(qc.min_decode_bits))
+        else:
+            target = jnp.full(t.shape, float(db), jnp.float32)
+        return jnp.where(t > half, float(qc.prefill_bits),
+                         target).astype(jnp.float32)
+
+    return fn
+
+
 def _quantize_pages(x: jax.Array, bits: int):
     """Per-token quantize pages [N, H, P, Hd] into the pools' token-block
     layout: data [N, H, P/vpb, Hd] + scale/zp [N, H, P]
@@ -695,32 +723,58 @@ class PagedContinuousBatcher(ContinuousBatcher):
         are re-routed ON DEVICE each scan step via `make_slot_bits_router`
         (the jnp twin of the host router), so phase transitions and
         progressive precision happen mid-chunk exactly as they would
-        per-step; `used` staticizes the union of buckets the chunk touches."""
+        per-step; `used` staticizes the union of buckets the chunk touches.
+
+        With salience routing, the chunk additionally carries the per-page
+        attention-mass EMA and re-allocates per-page bit-widths ON DEVICE
+        each step (`allocate_bits_jnp`, bit-identical to the host greedy) —
+        salience serving runs at fused-chunk speed instead of one dispatch
+        per step."""
+        from diffusion_llm_rs_tpu.cache.salience import allocate_bits_jnp
+
         cfg, schedule = self.cfg, self.schedule
-        B = self.num_slots
+        B, S = self.num_slots, self.seq_len
+        Pg = self.page_size
         nps = self.num_pages_per_slot
         slot_bits_fn = self._slot_bits
+        budget_fn = make_slot_budget_router(cfg)
         make_attend = self._make_attend
         mdt = self._model_dtype
+        salience = self.salience_routing
+        ema = self.salience_ema
+        # salience never crushes a page below 2 bits (see _route_page_bits)
+        opts = tuple(b for b in self.buckets if b >= 2) or self.buckets
 
-        @functools.partial(jax.jit, donate_argnums=(6,),
-                           static_argnums=(7, 8))
-        def run_chunk(params, x, key, t0, totals, seq_lens, pools, used,
-                      n_steps):
+        @functools.partial(jax.jit, donate_argnums=(7,),
+                           static_argnums=(8, 9))
+        def run_chunk(params, x, key, t0, totals, seq_lens, scores, pools,
+                      used, n_steps):
             # the key chain advances INSIDE the scan (split is deterministic,
             # so values are bit-identical to the host splitting per step —
             # without 2 eager dispatches per step through the TPU tunnel)
+            nps_actual = ((seq_lens + Pg - 1) // Pg).astype(jnp.int32)
+            page_valid = (jnp.arange(nps, dtype=jnp.int32)[None, :]
+                          < nps_actual[:, None])                 # [B, nps]
+
             def body(carry, _):
-                x, t, key, pools = carry
+                x, t, key, scores, pools = carry
                 key, sub = jax.random.split(key)
                 step_keys = jax.random.split(sub, B)
                 active = t >= 0
                 t_clamped = jnp.maximum(t, 0).astype(jnp.int32)
-                bits = slot_bits_fn(t_clamped, totals)          # [B] int32
-                page_bits = jnp.broadcast_to(bits[:, None], (B, nps))
+                if salience:
+                    budget = budget_fn(t_clamped, totals)        # [B] f32
+                    page_bits = jax.vmap(
+                        lambda s, b, v: allocate_bits_jnp(
+                            s, b, valid=v, bit_options=opts)
+                    )(scores, budget, page_valid)
+                else:
+                    bits = slot_bits_fn(t_clamped, totals)       # [B] int32
+                    page_bits = jnp.broadcast_to(bits[:, None], (B, nps))
                 pools = {b: dict(p) for b, p in pools.items()}
+                scores_acc = [] if salience else None
                 attend_fn = make_attend(pools, page_bits, active, seq_lens,
-                                        None, used)
+                                        scores_acc, used)
                 eps = dn.denoiser_forward(params, cfg, x.astype(mdt),
                                           t_clamped, attend_fn=attend_fn
                                           ).astype(jnp.float32)
@@ -731,11 +785,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 keep = active.reshape(-1, 1, 1)
                 x = jnp.where(keep, x_next, x)
                 t = jnp.where(active, t - 1, t)
-                return (x, t, key, pools), None
+                if salience:
+                    step_scores = jnp.mean(jnp.stack(scores_acc), axis=0)
+                    scores = ema * scores + (1.0 - ema) * step_scores
+                return (x, t, key, scores, pools), None
 
-            (x, _, key, pools), _ = jax.lax.scan(
-                body, (x, t0, key, pools), None, length=n_steps)
-            return x, key, pools
+            (x, _, key, scores, pools), _ = jax.lax.scan(
+                body, (x, t0, key, scores, pools), None, length=n_steps)
+            return x, key, scores, pools
 
         return run_chunk
 
@@ -832,9 +889,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     def _step_impl(self) -> int:
         """Admit, then run a CHUNK of fused denoise steps in one dispatch
-        (salience routing needs per-step host feedback, so it keeps the
-        per-step path). Returns the number of active slots stepped."""
-        if self.salience_routing or self.max_chunk <= 1:
+        (with salience routing, the per-page EMA + bit allocation advance
+        on device inside the chunk). Returns active slots stepped."""
+        if self.max_chunk <= 1:
             return super()._step_impl()
         self._admit()
         active_mask = self.t >= 0
@@ -848,15 +905,23 @@ class PagedContinuousBatcher(ContinuousBatcher):
         seq_lens = jnp.asarray(
             [r.seq_len if r is not None else 0 for r in self.slot_request],
             jnp.int32)
-        used = self._used_buckets_chunk(active_mask, totals, c)
+        if self.salience_routing:
+            # allocation outcomes are data-dependent: every floor-or-above
+            # bucket (plus the phase buckets) may be read this chunk
+            used = tuple(self.buckets)
+        else:
+            used = self._used_buckets_chunk(active_mask, totals, c)
         self._ensure_pools(used)
         if self._chunk_fn is None:
             self._chunk_fn = self._build_chunk()
         # per-(step, slot) keys are split INSIDE the chunk — same sequence
         # the per-step path draws, advanced on device in one dispatch
-        self.x, self._key, self.pools = self._chunk_fn(
+        self.x, self._key, scores, self.pools = self._chunk_fn(
             self.params, self.x, self._key, jnp.asarray(self.t, jnp.int32),
-            jnp.asarray(totals), seq_lens, self.pools, used, c)
+            jnp.asarray(totals), seq_lens,
+            jnp.asarray(self.page_scores, jnp.float32), self.pools, used, c)
+        if self.salience_routing:
+            self.page_scores = np.asarray(scores)
         new_t = np.where(active_mask, self.t - c, self.t)
         metrics.inc("batcher.steps", c)
         metrics.inc("batcher.slot_steps", n_active * c)

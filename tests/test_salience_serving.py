@@ -153,3 +153,50 @@ def test_mixed_precision_beats_uniform_at_equal_budget():
     err_uniform = float(jnp.abs(
         quantized_attn([int(budget)] * n_pages) - exact).max())
     assert err_mixed < 0.5 * err_uniform, (err_mixed, err_uniform)
+
+
+def test_allocate_bits_jnp_matches_host_exactly():
+    """The on-device allocator (used inside the fused salience chunk) is the
+    same greedy with the same f32 budget arithmetic — bit-identical."""
+    from diffusion_llm_rs_tpu.cache.salience import (allocate_bits,
+                                                     allocate_bits_jnp)
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        n = int(rng.randint(2, 17))
+        scores = rng.rand(n).astype(np.float32)
+        budget = float(rng.uniform(1.0, 8.0))
+        opts = (2, 4, 8)
+        host = allocate_bits(scores, budget, opts)
+        dev = np.asarray(allocate_bits_jnp(jnp.asarray(scores), budget,
+                                           bit_options=opts))
+        np.testing.assert_array_equal(host, dev, err_msg=f"trial {trial}")
+        # validity mask == host on the valid prefix
+        k = max(1, n // 2)
+        valid = np.zeros((n,), bool)
+        valid[:k] = True
+        host_k = allocate_bits(scores[:k], budget, opts)
+        dev_k = np.asarray(allocate_bits_jnp(
+            jnp.asarray(scores), budget, valid=jnp.asarray(valid),
+            bit_options=opts))
+        np.testing.assert_array_equal(host_k, dev_k[:k],
+                                      err_msg=f"trial {trial} masked")
+
+
+def test_salience_chunked_matches_per_step():
+    """Fused salience chunks (EMA + allocation on device) produce the same
+    trajectories as the per-step host-fed path."""
+    def run(max_chunk):
+        cfg, b = _make(salience=True)
+        b.max_chunk = max_chunk
+        b.submit(Request("a", seq_len=16, num_steps=12))
+        b.submit(Request("b", seq_len=8, num_steps=7))
+        done = {c.request_id: c.embeddings for c in b.run_until_drained()}
+        return done, b.page_scores.copy()
+
+    per_step, scores1 = run(1)
+    chunked, scores8 = run(8)
+    assert sorted(per_step) == sorted(chunked)
+    for rid in per_step:
+        np.testing.assert_allclose(chunked[rid], per_step[rid],
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(scores8, scores1, rtol=1e-3, atol=1e-4)
