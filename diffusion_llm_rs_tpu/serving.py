@@ -79,6 +79,12 @@ class ContinuousBatcher:
         self.cfg = cfg
         self.schedule = schedule or DiffusionSchedule.create(
             cfg.num_timesteps, cfg.beta_start, cfg.beta_end, cfg.beta_schedule)
+        if seq_len > cfg.max_sequence_length:
+            # fail at construction, not 3 frames deep in the jitted scan:
+            # the denoiser's positional table is cfg.max_sequence_length long
+            raise ValueError(
+                f"seq_len {seq_len} exceeds the model's max_sequence_length "
+                f"{cfg.max_sequence_length}")
         self.num_slots = num_slots
         self.seq_len = seq_len
         self._key = jax.random.PRNGKey(seed)
