@@ -345,7 +345,8 @@ def main():
              f"Diffusion LM ({cfg.num_layers}L/{cfg.hidden_size}d, vocab "
              f"{cfg.vocab_size}) trained {STEPS} steps on a seeded word-level "
              "Markov corpus with irreducible per-token entropy (branch-4 "
-             "Dirichlet successors), evaluated on 128 HELD-OUT sentences; "
+             f"Dirichlet successors), evaluated on {len(eval_sents)} "
+             "HELD-OUT sentences; "
              f"token-reconstruction perplexity at t={list(EVAL_T)} of T=100, "
              f"mean ± std over {SEEDS} paired noise seeds (identical draws "
              "for every variant). Lower = better. Generated by "

@@ -47,8 +47,10 @@ def _build_engine(args):
         eng = Engine()
     else:
         eng = Engine.from_pretrained(args.checkpoint)
-    if args.bits:
-        eng.quantize_weights(args.bits, method=args.quant_method)
+    if args.bits or args.quant_method == "fp8":
+        # fp8 stores 8-bit floats regardless of --bits (the flag is the int
+        # grid width); pass a nominal 8 so the call is unambiguous
+        eng.quantize_weights(args.bits or 8, method=args.quant_method)
     return eng
 
 
@@ -71,8 +73,11 @@ def cmd_ppl(args):
     eng = _build_engine(args)
     text = args.text or sys.stdin.read()
     ppl = eng.denoising_perplexity(text, t=args.t)
+    # report the ACTUAL stored weight width (a pre-quantized --checkpoint or
+    # fp8 differs from the flag), not the flag echo
     print(json.dumps({"perplexity": round(float(ppl), 4), "t": args.t,
-                      "bits": args.bits or "bf16"}))
+                      "bits": int(eng.stats()["weight_bits"]),
+                      "method": args.quant_method}))
 
 
 def cmd_ingest(args):
@@ -104,19 +109,37 @@ def cmd_serve(args):
 
 
 def cmd_quantize(args):
+    # validate the flag contract BEFORE the (slow) checkpoint load
+    if not args.bits and args.quant_method != "fp8":
+        raise SystemExit("quantize requires --bits (unless --quant-method fp8)")
     eng = _build_engine(args)
-    if not args.bits:
-        raise SystemExit("quantize requires --bits")
     if args.out:
+        import os
         from diffusion_llm_rs_tpu.utils.serialization import save_checkpoint
-        save_checkpoint(args.out, eng.params,
-                        {"bits": args.bits, "method": args.quant_method})
+        # metadata must match the anchor format (config + tokenizer) so the
+        # saved stem loads back through Engine.from_pretrained / --checkpoint
+        cfg = eng.config
+        tok_name = os.path.basename(args.out) + ".tok.json"
+        meta = {
+            "bits": args.bits or 8, "method": args.quant_method,
+            "config": {"num_timesteps": cfg.num_timesteps,
+                       "hidden_size": cfg.hidden_size,
+                       "num_layers": cfg.num_layers,
+                       "num_attention_heads": cfg.num_attention_heads,
+                       "vocab_size": cfg.vocab_size,
+                       "max_sequence_length": cfg.max_sequence_length,
+                       "dtype": cfg.dtype},
+            "tokenizer": tok_name,
+        }
+        save_checkpoint(args.out, eng.params, meta)
+        eng.tokenizer.save(os.path.join(
+            os.path.dirname(os.path.abspath(args.out)), tok_name))
     import jax
     import numpy as np
     total = sum(int(np.prod(l.shape)) * l.dtype.itemsize
                 for l in jax.tree_util.tree_leaves(eng.params)
                 if hasattr(l, "shape") and hasattr(l, "dtype"))
-    print(json.dumps({"bits": args.bits, "method": args.quant_method,
+    print(json.dumps({"bits": args.bits or 8, "method": args.quant_method,
                       "param_bytes": total,
                       "saved": args.out or None}))
 

@@ -512,6 +512,25 @@ class Engine:
             "prefill_vectors": len(self._prefill_store),
             "indexed_vectors": len(self.anns),
             "router_nodes": len(self.router.nodes),
-            "weight_bits": self._weight_bits or 16,
+            "weight_bits": self._weight_bits or self._infer_weight_bits(),
         })
         return s
+
+    def _infer_weight_bits(self) -> int:
+        """Stored weight width when params came pre-quantized (e.g. a
+        quantized checkpoint loaded via from_pretrained, where
+        quantize_weights never ran): min bits over quantized leaves."""
+        from diffusion_llm_rs_tpu.ops.matmul import Int8Weight
+        from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
+        from diffusion_llm_rs_tpu.quant.core import Fp8Tensor, QuantizedTensor
+
+        def _is_q(l):
+            return isinstance(l, (QuantizedTensor, MatmulWeight, Fp8Tensor,
+                                  Int8Weight))
+        bits = [l.bits for l in jax.tree_util.tree_leaves(
+                    self.params, is_leaf=_is_q)
+                if isinstance(l, (QuantizedTensor, MatmulWeight))]
+        bits += [8 for l in jax.tree_util.tree_leaves(
+                     self.params, is_leaf=_is_q)
+                 if isinstance(l, (Fp8Tensor, Int8Weight))]
+        return min(bits) if bits else 16

@@ -48,9 +48,12 @@ def save_checkpoint(path: str, params: Any, metadata: Dict = None) -> None:
             arrays[f"{i}:data"] = np.asarray(leaf.data)
             arrays[f"{i}:scale"] = np.asarray(leaf.scale)
             arrays[f"{i}:zp"] = np.asarray(leaf.zero_point)
+            if leaf.col_scale is not None:
+                arrays[f"{i}:col_scale"] = np.asarray(leaf.col_scale)
             manifest.append({
                 "kind": "matmul_weight", "bits": leaf.bits, "K": leaf.K,
-                "N": leaf.N, "group_size": leaf.group_size})
+                "N": leaf.N, "group_size": leaf.group_size,
+                "act_bits": leaf.act_bits})
         elif isinstance(leaf, Fp8Tensor):
             arrays[f"{i}:data"] = np.asarray(leaf.data).view(np.uint8)
             arrays[f"{i}:scale"] = np.asarray(leaf.scale)
@@ -94,12 +97,16 @@ def load_checkpoint(path: str, like: Any) -> Any:
                 granularity=m["granularity"], group_size=m["group_size"],
                 axis=m["axis"], symmetric=m["symmetric"]))
         elif kind == "matmul_weight":
+            cs_key = f"{i}:col_scale"
             leaves.append(MatmulWeight(
                 data=jnp.asarray(data[f"{i}:data"]),
                 scale=jnp.asarray(data[f"{i}:scale"]),
                 zero_point=jnp.asarray(data[f"{i}:zp"]),
                 bits=m["bits"], K=m["K"], N=m["N"],
-                group_size=m["group_size"]))
+                group_size=m["group_size"],
+                act_bits=m.get("act_bits", 16),
+                col_scale=(jnp.asarray(data[cs_key])
+                           if cs_key in data.files else None)))
         elif kind == "fp8":
             leaves.append(Fp8Tensor(
                 data=jnp.asarray(data[f"{i}:data"]).view(jnp.float8_e4m3fn),

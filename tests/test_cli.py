@@ -59,6 +59,13 @@ def test_quantize_save_roundtrip(tmp_path, capsys):
     rec = json.loads(out)
     assert rec["bits"] == 4 and rec["param_bytes"] > 0
     assert (tmp_path / "q4.npz").exists()
+    # the saved stem must load back through --checkpoint (ADVICE r3: the
+    # metadata needs config + tokenizer, not just {bits, method})
+    out = run(capsys, "ppl", "--checkpoint", stem,
+              "--text", "cat runs near the river", "--t", "10")
+    rec = json.loads(out)
+    assert rec["perplexity"] > 0
+    assert rec["bits"] == 4  # inferred from the loaded quantized leaves
 
 
 def test_unknown_command_exits():
