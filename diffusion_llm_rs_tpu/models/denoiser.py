@@ -136,6 +136,25 @@ def attention(
     mask: Optional[jax.Array] = None,  # [B, 1, S, Skv] additive
 ) -> jax.Array:
     Hd = q.shape[-1]
+    if mask is None:
+        # unmasked full-sequence attention (the sampler hot loop): Pallas
+        # flash kernel — the [S, Skv] logits never touch HBM, vs the XLA
+        # einsum path's f32 materialization + separate softmax passes
+        from diffusion_llm_rs_tpu.ops.matmul import use_pallas
+        if use_pallas():
+            from diffusion_llm_rs_tpu.ops.pallas_attention import (
+                dense_attention,
+            )
+            B, S, H, _ = q.shape
+            Skv = k.shape[1]
+
+            def fold(x):  # [B, S, H, Hd] -> [B*H, S, Hd]
+                return x.transpose(0, 2, 1, 3).reshape(B * H, -1, Hd)
+
+            out = dense_attention(fold(q), fold(k), fold(v),
+                                  out_dtype=q.dtype)
+            if out is not None:
+                return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bshd,bthd->bhst", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(Hd)

@@ -202,6 +202,81 @@ def attention(q: jax.Array, k: QuantKV, v: QuantKV,
       v.zero_point[:, None, :])
 
 
+def _dense_kernel(q_ref, k_ref, v_ref, out_ref, *, TK: int, sm_scale: float):
+    """One (bh, q-tile) of dense bf16 flash attention: online softmax over
+    KV tiles resident in VMEM — the [Sq, Skv] logits matrix is never
+    materialized in HBM (the XLA einsum+softmax path writes it f32)."""
+    q = q_ref[0]                       # [TQ, D] bf16
+    TQ = q.shape[0]
+    D = q.shape[1]
+    Skv = k_ref.shape[1]
+
+    m = jnp.full((TQ, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((TQ, 1), jnp.float32)
+    acc = jnp.zeros((TQ, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * TK, TK), :]             # [TK, D] bf16
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # [TQ, TK]
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, pl.ds(j * TK, TK), :]             # [TK, D] bf16
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc * alpha + pv
+
+    m, l, acc = jax.lax.fori_loop(0, Skv // TK, body, (m, l, acc))
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "out_dtype"))
+def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    sm_scale: Optional[float] = None,
+                    out_dtype=jnp.bfloat16) -> Optional[jax.Array]:
+    """Dense (unquantized) flash attention: q/k/v [BH, S, D] -> [BH, Sq, D].
+
+    The bf16 fast path for the sampler's full-sequence bidirectional
+    attention and the honest bf16 flash baseline at long S (so the paged
+    quantized kernel's win is measured against flash, not against an
+    S^2-materializing strawman). Returns None for kernel-unfriendly shapes
+    (caller falls back to the XLA einsum path — same math).
+    """
+    BH, Sq, D = q.shape
+    Skv = k.shape[1]
+    sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    TQ = next((t for t in (512, 256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
+    TK = next((t for t in (512, 256, 128) if Skv % t == 0), None)
+    if TQ is None or TK is None or D % 8 != 0 or k.shape != v.shape:
+        return None
+    kernel = functools.partial(_dense_kernel, TK=TK, sm_scale=sm_scale)
+    kv_spec = pl.BlockSpec((1, Skv, D), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, Sq // TQ),
+        in_specs=[
+            pl.BlockSpec((1, TQ, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, kv_spec,
+        ],
+        out_specs=pl.BlockSpec((1, TQ, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Sq * Skv * D,
+            bytes_accessed=BH * (Sq * D * 2 + 2 * Skv * D * 2 + Sq * D * 2),
+            transcendentals=BH * Sq * Skv,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
+
+
 def _attention_fallback(q, k: QuantKV, v: QuantKV, sm_scale: float):
     kd = k.dequantize(jnp.bfloat16)
     vd = v.dequantize(jnp.bfloat16)

@@ -81,12 +81,24 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                              f"{self.tp}")
         # step-fn params: Megatron-split, stacked on a leading 'model' axis
         self.params = place_tp_params(params, mesh)
-        # re-place slot state + pools with their mesh shardings
+        # re-place slot state + pools with their mesh shardings (via host
+        # so the transfer also works when the mesh spans OS processes —
+        # every process holds the same value and serves its local shards)
         self.x = jax.device_put(
-            self.x, NamedSharding(mesh, P("data", None, None)))
+            np.asarray(self.x), NamedSharding(mesh, P("data", None, None)))
         if self.attend_mode == "paged":
             self.pools = {bits: self._make_pool(bits)
                           for bits in self.buckets}
+
+    def _to_host(self, arr) -> np.ndarray:
+        """Retirement readout when the 'data' axis spans OS processes: the
+        decoded tokens are sharded over processes, so every process
+        allgathers the full value (each host's scheduler retires the same
+        slots — the host loops run in lockstep by construction)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mhu
+            return np.asarray(mhu.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
 
     def _choose_head_group(self) -> int:
         g = super()._choose_head_group()
@@ -104,7 +116,7 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
 
         def place(a):
             spec = P("data", "model", *([None] * (a.ndim - 2)))
-            return jax.device_put(a, NamedSharding(mesh, spec))
+            return jax.device_put(np.asarray(a), NamedSharding(mesh, spec))
 
         return {k: place(v) for k, v in pool.items()}
 

@@ -70,3 +70,40 @@ def test_attention_fallback_odd_shapes():
     ref = _ref_attention(q, kf, vf, 1.0 / math.sqrt(48))
     rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
     assert rel < 3e-2
+
+
+def test_dense_attention_matches_reference():
+    rng = np.random.default_rng(3)
+    BH, Sq, Skv, D = 3, 32, 256, 64
+    q = jnp.asarray(rng.normal(size=(BH, Sq, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(BH, Skv, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(BH, Skv, D)).astype(np.float32))
+    out = pa.dense_attention(q, k, v, out_dtype=jnp.float32)
+    assert out is not None
+    ref = _ref_attention(q.astype(jnp.bfloat16).astype(jnp.float32),
+                         k.astype(jnp.bfloat16).astype(jnp.float32),
+                         v.astype(jnp.bfloat16).astype(jnp.float32),
+                         1.0 / math.sqrt(D))
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-2, rel
+
+
+def test_dense_attention_unfriendly_shape_returns_none():
+    q = jnp.zeros((2, 7, 64))
+    k = jnp.zeros((2, 100, 64))
+    assert pa.dense_attention(q, k, k) is None
+
+
+def test_denoiser_attention_uses_flash_equivalent_math():
+    # the denoiser-level dispatch (mask=None) must agree with the einsum path
+    from diffusion_llm_rs_tpu.models import denoiser as dn
+    rng = np.random.default_rng(4)
+    B, S, H, Hd = 2, 16, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    out = dn.attention(q, k, v)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) / math.sqrt(Hd)
+    p = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhst,bthd->bshd", p, v)
+    assert float(jnp.max(jnp.abs(out - ref))) < 5e-2

@@ -200,3 +200,38 @@ def test_salience_chunked_matches_per_step():
         np.testing.assert_allclose(chunked[rid], per_step[rid],
                                    rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(scores8, scores1, rtol=1e-3, atol=1e-4)
+
+
+def test_salience_chunk_bucket_pruning_is_sound_and_effective():
+    """The chunk's reachable-bucket bound (a) covers every width the device
+    allocator can actually assign, and (b) prunes the top bucket once the
+    decode-phase budget can no longer afford it (VERDICT r3 weak #5)."""
+    cfg, b = _make(max_chunk=8)
+    b.submit(Request("r", seq_len=16, num_steps=12))
+    seen_used = []
+    while b.active_slots() or b.queue:
+        active_mask = b.t >= 0
+        if active_mask.any():
+            totals = np.asarray(
+                [r.num_steps if r is not None else 1
+                 for r in b.slot_request], np.int32)
+            c = b._chunk_steps(active_mask)
+            used = b._used_buckets_chunk_salience(active_mask, totals, c)
+            # soundness: the host allocation at each chunk offset only
+            # produces widths inside the bound
+            for s in range(c):
+                step_active = active_mask & (b.t - s >= 0)
+                if not step_active.any():
+                    break
+                _, budget = slot_phase_bits_np(
+                    cfg, np.maximum(b.t - s, 0), totals)
+                for slot in np.nonzero(step_active)[0]:
+                    n_pages = -(-b.slot_request[slot].seq_len // b.page_size)
+                    bits = allocate_bits(
+                        b.page_scores[slot, :n_pages], float(budget[slot]),
+                        bit_options=tuple(x for x in b.buckets if x >= 2))
+                    assert set(int(v) for v in bits) <= set(used)
+            seen_used.append(used)
+        b.step()
+    # effectiveness: at least one chunk ran without the widest bucket
+    assert any(max(b.buckets) not in u for u in seen_used), seen_used
