@@ -29,7 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, sample
-from diffusion_llm_rs_tpu.quant.core import quantize_tree
+from diffusion_llm_rs_tpu.ops import pallas_matmul
+from diffusion_llm_rs_tpu.quant.core import QuantizedTensor, quantize_tree
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 SEQ = int(os.environ.get("BENCH_SEQ", 256))
@@ -67,26 +68,45 @@ def build(cfg, params, batch=None, seq=None, steps=None):
     return run
 
 
-def time_run(run, label, batch=None, seq=None, steps=None, repeats=None):
-    """Returns (best_tps, median_tps, spread) — spread = (max-min)/median of
-    the per-repeat times, so the driver can tell regression from noise."""
-    batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
-    repeats = repeats or REPEATS
-    key = jax.random.PRNGKey(0)
+def _chain_time(run, n, seed0):
+    """Enqueue n independent calls back-to-back, sync once. The device
+    executes enqueued programs serially, so the elapsed time is
+    sync_overhead + n * device_time."""
     t0 = time.perf_counter()
+    r = None
+    for i in range(n):
+        r = run(jax.random.PRNGKey(seed0 + i))
     # force a scalar host transfer: block_until_ready on SMALL outputs can
     # return before the device finishes through the axon tunnel (CLAUDE.md)
-    float(jnp.sum(run(key)))
+    float(jnp.sum(r))
+    return time.perf_counter() - t0
+
+
+def time_run(run, label, batch=None, seq=None, steps=None, repeats=None,
+             chains=(1, 4)):
+    """Returns (best_tps, median_tps, spread).
+
+    SLOPE-based timing (round 4): one scalar sync through the axon tunnel
+    costs ~23 ms (heavy-tailed) regardless of device work, so per-call time
+    is taken as (t(chain of n2) - t(chain of n1)) / (n2 - n1) — the tunnel
+    overhead cancels instead of inflating every number by 23/steps ms.
+    Pick `chains` so (n2-n1) * device_time >> the sync jitter (~15 ms):
+    small-batch rows need longer chains. spread = (max-min)/median over the
+    per-repeat slopes."""
+    batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
+    repeats = repeats or REPEATS
+    t0 = time.perf_counter()
+    float(jnp.sum(run(jax.random.PRNGKey(0))))
     log(f"{label}: compile+first run {time.perf_counter() - t0:.2f}s")
-    times = []
+    N1, N2 = chains
+    slopes = []
     for i in range(repeats):
-        key = jax.random.PRNGKey(i + 1)
-        t0 = time.perf_counter()
-        float(jnp.sum(run(key)))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    med = sorted(times)[len(times) // 2]
-    spread = (max(times) - best) / med
+        t1 = _chain_time(run, N1, 100 + i * 32)
+        t2 = _chain_time(run, N2, 200 + i * 32)
+        slopes.append((t2 - t1) / (N2 - N1))
+    best = min(slopes)
+    med = sorted(slopes)[len(slopes) // 2]
+    spread = (max(slopes) - best) / med
     tps = batch * seq / best
     log(f"{label}: best {best * 1e3:.1f} ms (median {med * 1e3:.1f}, spread "
         f"{spread:.1%}) for {steps} steps -> {tps:.1f} gen tokens/s "
@@ -111,8 +131,9 @@ def measure_serving(cfg, params, label):
     b.run_until_drained()
     log(f"{label}: serving warmup (compiles) {time.perf_counter() - t0:.1f}s")
     best = 0.0
-    for rep in range(3):
-        for i in range(2 * slots):
+    # 6 waves per drain (~0.5 s): a 0.1-0.2 s drain is tunnel-jitter noise
+    for rep in range(5):
+        for i in range(6 * slots):
             b.submit(Request(f"r{rep}:{i}", seq_len=seq, num_steps=12))
         t0 = time.perf_counter()
         done = b.run_until_drained()
@@ -122,6 +143,60 @@ def measure_serving(cfg, params, label):
         log(f"{label}: serving {tps:.1f} gen tokens/s "
             f"({len(done)} reqs in {dt:.2f}s)")
     return best
+
+
+def measure_longseq_serving(params_raw, label, seq=4096, slots=2, steps=8):
+    """End-to-end serving IN THE REGIME THE PAGED MACHINERY EXISTS FOR
+    (VERDICT r3 missing #1): PagedContinuousBatcher at S=4096, salience
+    routing + HBM pool budget ON, paged vs dense attend mode — gen tok/s
+    both modes. The paged pools, in-kernel page gather, budget spill and
+    per-page salience allocation are all in the measured hot path."""
+    import dataclasses
+
+    from diffusion_llm_rs_tpu.serving import PagedContinuousBatcher, Request
+
+    cfg = DiffusionConfig(num_timesteps=1000, hidden_size=768, num_layers=12,
+                          num_attention_heads=12, vocab_size=50257,
+                          max_sequence_length=seq, dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg, quant_config=dataclasses.replace(
+            cfg.quant_config, progressive_precision=False,
+            prefill_bits=4, decode_bits=4))
+    params = dn.init_denoiser_params(jax.random.PRNGKey(2), cfg)
+    qparams = quantize_tree(params, BITS, symmetric=True,
+                            granularity="group", group_size=128, axis=0)
+    from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8
+
+    def _prep(leaf):
+        if isinstance(leaf, QuantizedTensor) and leaf.ndim == 2:
+            try:
+                return decode_to_int8(pallas_matmul.prepare(leaf, act_bits=8))
+            except ValueError:
+                return leaf
+        return leaf
+    qparams = jax.tree_util.tree_map(
+        _prep, qparams, is_leaf=lambda l: isinstance(l, QuantizedTensor))
+    out = {}
+    for mode in ("paged", "dense"):
+        b = PagedContinuousBatcher(
+            qparams, cfg, num_slots=slots, seq_len=seq, page_size=128,
+            keep_embeddings=False, attend_mode=mode, salience_routing=True,
+            hbm_budget_bytes=2 * 1024 ** 3)
+        t0 = time.perf_counter()
+        # warm with the SAME step count as the measured requests so the
+        # drain below never includes the (n_steps-keyed) chunk compiles
+        b.submit(Request("warm", seq_len=seq, num_steps=steps))
+        b.run_until_drained()
+        log(f"{label}: longseq {mode} warmup {time.perf_counter() - t0:.1f}s")
+        for i in range(2 * slots):
+            b.submit(Request(f"ls{i}", seq_len=seq, num_steps=steps))
+        t0 = time.perf_counter()
+        done = b.run_until_drained()
+        dt = time.perf_counter() - t0
+        out[mode] = sum(c.tokens.size for c in done) / dt
+        log(f"{label}: longseq S={seq} {mode} {out[mode]:.1f} gen tokens/s "
+            f"({len(done)} reqs in {dt:.2f}s)")
+    return out
 
 
 def main():
@@ -136,8 +211,6 @@ def main():
 
     bf16_tps, _, _ = time_run(build(cfg, params_bf16), "bf16")
 
-    from diffusion_llm_rs_tpu.ops import pallas_matmul
-    from diffusion_llm_rs_tpu.quant.core import QuantizedTensor
 
     qparams = quantize_tree(params, BITS, symmetric=True,
                             granularity="group", group_size=128, axis=0)
@@ -166,6 +239,12 @@ def main():
         ("/decoded" if DECODED else "")
     int4_tps, int4_med, int4_spread = time_run(build(cfg, qparams), label)
 
+    # model FLOPs per generated token (linears + attention matmuls), for
+    # the achieved-vs-peak MFU fields the driver trends (VERDICT r3 item 1)
+    D, L = cfg.hidden_size, cfg.num_layers
+    flops_per_tok = (2 * 12 * D * D * L + 2 * D * D + 4 * SEQ * D * L) * STEPS
+    mxu_bf16_peak = 189e12   # measured on this v5e (CLAUDE.md)
+    mxu_int8_peak = 349e12
     record = {
         "metric": f"int{BITS} "
                   f"{'int8-activation' if ACT_BITS == 8 else 'weight-only'} "
@@ -175,6 +254,8 @@ def main():
         "vs_baseline": round(int4_tps / bf16_tps, 4),
         "value_median": round(int4_med, 2),
         "value_spread": round(int4_spread, 4),
+        "mfu_bf16": round(bf16_tps * flops_per_tok / mxu_bf16_peak, 4),
+        "mfu_int8": round(int4_tps * flops_per_tok / mxu_int8_peak, 4),
     }
 
     if os.environ.get("BENCH_EXTRA", "1") == "1":
@@ -188,15 +269,18 @@ def main():
                 l, QuantizedTensor) and l.ndim == 2 and l.shape[0] % 256 == 0
                 else l),
             qp_packed, is_leaf=lambda l: isinstance(l, QuantizedTensor))
-        # B=1 is noisy through the tunnel: >=5 repeats + spread recorded
-        b1_reps = max(REPEATS, 5)
-        b1_bf16, _, _ = time_run(build(cfg, params_bf16, **b1), "bf16 B=1",
-                                 repeats=b1_reps, **b1)
+        # B=1 is noisy through the tunnel: >=10 repeats, MEDIAN-based ratio
+        # (VERDICT r3 weak #6), and long chains so the slope numerator
+        # (~8 calls x ~16 ms device) clears the ~15 ms sync jitter
+        b1_reps = max(REPEATS, 10)
+        _, b1_bf16_med, _ = time_run(build(cfg, params_bf16, **b1),
+                                     "bf16 B=1", repeats=b1_reps,
+                                     chains=(2, 10), **b1)
         b1_int, b1_med, b1_spread = time_run(
             build(cfg, qp_packed, **b1), f"int{BITS} packed B=1",
-            repeats=b1_reps, **b1)
-        record["decode_b1_tokens_per_sec"] = round(b1_int, 2)
-        record["decode_b1_vs_bf16"] = round(b1_int / b1_bf16, 4)
+            repeats=b1_reps, chains=(2, 10), **b1)
+        record["decode_b1_tokens_per_sec"] = round(b1_med, 2)
+        record["decode_b1_vs_bf16"] = round(b1_med / b1_bf16_med, 4)
         record["decode_b1_spread"] = round(b1_spread, 4)
         # quantized-KV continuous-batching serving throughput vs the fused
         # one-shot sampler at the IDENTICAL shape and step count — the
@@ -207,22 +291,44 @@ def main():
                 cfg.quant_config, progressive_precision=False,
                 prefill_bits=4, decode_bits=4))
         serve_tps = measure_serving(cfg_serve, qparams, label)
-        fused_tps, _, _ = time_run(build(cfg, qparams, steps=12),
-                                   f"{label} fused 12-step", steps=12)
-        record["paged_serving_tokens_per_sec"] = round(serve_tps, 2)
+        # the serving comparator stays WALL-CLOCK (incl. the ~23 ms tunnel
+        # sync): the serving drain above pays the same tunnel costs per
+        # dispatch, so slope-based fused time would make the ratio unfair
+        fused_run = build(cfg, qparams, steps=12)
+        float(jnp.sum(fused_run(jax.random.PRNGKey(0))))  # compile
+        fused_wall = min(_chain_time(fused_run, 1, 300 + i) for i in range(3))
+        fused_tps = BATCH * SEQ / fused_wall
+        log(f"{label} fused 12-step wall-clock: {fused_wall * 1e3:.1f} ms "
+            f"-> {fused_tps:.1f} gen tokens/s")
+        # serving_vs_fused > 1 is possible through the tunnel: the fused
+        # one-shot pays the full ~23 ms sync per run while the batcher's
+        # deferred-retire overlap hides it across waves
+        record["fused_12step_wall_ms"] = round(fused_wall * 1e3, 2)
+        # honest name: S=256 runs the DENSE fake-quant attend mode
+        # (VERDICT r3 weak #4 — the old `paged_serving_tokens_per_sec`
+        # never exercised the paged path)
+        record["serving_tokens_per_sec_s256_dense"] = round(serve_tps, 2)
         record["serving_vs_fused"] = round(serve_tps / fused_tps, 4)
         if os.environ.get("BENCH_LONGSEQ", "1") == "1":
-            # long-context regime (VERDICT r2 item 2): paged int4 attention
-            # vs dense bf16 and vs the fake-quant dense reconstruction at
-            # S=4096 — the paged path's winning regime (LONGSEQ_r03.json
-            # has the full 1k/2k/4k/8k sweep)
+            # long-context regime: (a) op-level paged int4 attention vs
+            # dense/FLASH bf16 at S=4096 (LONGSEQ_r0N.json has the full
+            # sweep); (b) END-TO-END serving at S=4096, paged vs dense
+            # attend mode with salience + HBM budget on — the paged
+            # machinery measured in the regime it exists for
             from benchmarks.bench_longseq import run_row
             row = run_row(4096, bits_list=(4,))
             log(f"longseq S=4096: {row}")
             record["longseq4k_paged_vs_dense_bf16"] = \
                 row["paged_int4_vs_dense_bf16"]
+            record["longseq4k_paged_vs_flash_bf16"] = \
+                row["paged_int4_vs_flash_bf16"]
             record["longseq4k_paged_vs_fakequant"] = \
                 row["paged_int4_vs_fakequant"]
+            ls = measure_longseq_serving(params, label)
+            record["longseq_serving_paged_tokens_per_sec"] = \
+                round(ls["paged"], 2)
+            record["longseq_serving_dense_tokens_per_sec"] = \
+                round(ls["dense"], 2)
 
     print(json.dumps(record), flush=True)
 

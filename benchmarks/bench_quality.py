@@ -64,8 +64,15 @@ STEPS = int(os.environ.get("QUALITY_STEPS", 4000))
 EVAL_T = (25, 50, 80)         # noise levels stressing reconstruction
 SEEDS = 5                     # paired noise seeds per (variant, t) cell
 KV_T0 = 50                    # cached-loop start for the KV sweep
+# QUALITY_CORPUS=real trains/evaluates on the real-English corpus
+# (benchmarks/real_corpus.py) instead of the synthetic Markov chain —
+# the distribution-shift column (VERDICT r3 missing #4). Separate anchor
+# checkpoint + report so both sets of claims stay committed.
+CORPUS = os.environ.get("QUALITY_CORPUS", "markov")
 ANCHOR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      "quality_anchor")
+                      "quality_anchor" +
+                      ("_real" if CORPUS == "real" else ""))
+REPORT = "BENCH_QUALITY_REAL.md" if CORPUS == "real" else "BENCH_QUALITY.md"
 
 
 # ---------------------------------------------------------------------------
@@ -117,8 +124,16 @@ def encode_batch(tok, sentences, seq=SEQ):
 
 
 def main():
-    train_sents = gen_sentences(4096, seed=10)
-    eval_sents = gen_sentences(256, seed=99)          # held out
+    if CORPUS == "real":
+        from benchmarks.real_corpus import real_sentences
+        train_sents, eval_sents = real_sentences(4096, 256)
+        corpus_desc = ("~390 KB of real English (common-licenses prose + "
+                       "Python stdlib docstrings, benchmarks/real_corpus.py)")
+    else:
+        train_sents = gen_sentences(4096, seed=10)
+        eval_sents = gen_sentences(256, seed=99)      # held out
+        corpus_desc = ("a seeded word-level Markov corpus with irreducible "
+                       "per-token entropy (branch-4 Dirichlet successors)")
     tok_path = ANCHOR + ".tok.json"
     if os.path.exists(tok_path) and not os.environ.get("QUALITY_RETRAIN"):
         tok = BPETokenizer.load(tok_path)
@@ -175,7 +190,7 @@ def main():
         tok.save(tok_path)
         save_checkpoint(ANCHOR, params, {
             "steps": STEPS,
-            "corpus": "seeded word-markov branch-4 dirichlet(2)",
+            "corpus": corpus_desc,
             "config": {"num_timesteps": cfg.num_timesteps,
                        "hidden_size": cfg.hidden_size,
                        "num_layers": cfg.num_layers,
@@ -340,18 +355,21 @@ def main():
                 paired(kv_results["kv-fp"], kv_results["kv-int8"])),
     }
 
-    lines = ["# BENCH_QUALITY — denoising perplexity vs weight/KV bit-width",
+    title = ("# BENCH_QUALITY_REAL — distribution-shift column (real text)"
+             if CORPUS == "real" else
+             "# BENCH_QUALITY — denoising perplexity vs weight/KV bit-width")
+    lines = [title,
              "",
              f"Diffusion LM ({cfg.num_layers}L/{cfg.hidden_size}d, vocab "
-             f"{cfg.vocab_size}) trained {STEPS} steps on a seeded word-level "
-             "Markov corpus with irreducible per-token entropy (branch-4 "
-             f"Dirichlet successors), evaluated on {len(eval_sents)} "
+             f"{cfg.vocab_size}) trained {STEPS} steps on "
+             f"{corpus_desc}, evaluated on {len(eval_sents)} "
              "HELD-OUT sentences; "
              f"token-reconstruction perplexity at t={list(EVAL_T)} of T=100, "
              f"mean ± std over {SEEDS} paired noise seeds (identical draws "
              "for every variant). Lower = better. Generated by "
-             "benchmarks/bench_quality.py; anchor checkpoint "
-             "benchmarks/quality_anchor.*.",
+             "benchmarks/bench_quality.py"
+             + (" (QUALITY_CORPUS=real)" if CORPUS == "real" else "")
+             + f"; anchor checkpoint {os.path.basename(ANCHOR)}.*.",
              "",
              "## Weight quantization (single-step ppl, fp KV)",
              "",
@@ -383,7 +401,7 @@ def main():
         lines.append(f"- {name}: {'PASS' if ok else 'FAIL'}")
     out = "\n".join(lines) + "\n"
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_QUALITY.md"), "w") as f:
+    with open(os.path.join(root, REPORT), "w") as f:
         f.write(out)
     print(out, file=sys.stderr)
     print(json.dumps({"metric": "denoising perplexity by weight/kv bits",

@@ -43,8 +43,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+from diffusion_llm_rs_tpu.ops import pallas_attention as _pa
+
 _orig_attention = dn.attention
 _orig_layer_norm = dn.layer_norm
+_orig_fused_qkv = _pa.fused_qkv_attention
 
 
 def _einsum_attention(q, k, v, mask=None):
@@ -63,12 +66,16 @@ def build(cfg, params, attn="flash", ln=True):
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
 
     def model_fn(x, t):
+        # "fused" = production path (fused_qkv_attention); other variants
+        # disable the fused kernel so the dn.attention patch takes effect
         if attn == "einsum":
             dn.attention = _einsum_attention
         elif attn == "identity":
             dn.attention = lambda q, k, v, mask=None: q
         else:
             dn.attention = _orig_attention
+        _pa.fused_qkv_attention = (_orig_fused_qkv if attn == "fused"
+                                   else (lambda *a, **k: None))
         dn.layer_norm = (_orig_layer_norm if ln
                          else (lambda x, p, eps=1e-5: x))
         try:
@@ -76,6 +83,7 @@ def build(cfg, params, attn="flash", ln=True):
         finally:
             dn.attention = _orig_attention
             dn.layer_norm = _orig_layer_norm
+            _pa.fused_qkv_attention = _orig_fused_qkv
         return eps.astype(jnp.float32)
 
     @jax.jit
@@ -87,16 +95,26 @@ def build(cfg, params, attn="flash", ln=True):
 
 
 def time_run(run, label):
-    key = jax.random.PRNGKey(0)
+    """Slope-based (chain n1 vs n2 calls, one sync each): the ~23 ms tunnel
+    sync cancels instead of adding 23/STEPS ms to every step (CLAUDE.md)."""
     t0 = time.perf_counter()
-    float(jnp.sum(run(key)))
+    float(jnp.sum(run(jax.random.PRNGKey(0))))
     log(f"{label}: compile+first {time.perf_counter() - t0:.2f}s")
-    times = []
-    for i in range(REPEATS):
+
+    def chain(n, seed0):
         t0 = time.perf_counter()
-        float(jnp.sum(run(jax.random.PRNGKey(i + 1))))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+        r = None
+        for i in range(n):
+            r = run(jax.random.PRNGKey(seed0 + i))
+        float(jnp.sum(r))
+        return time.perf_counter() - t0
+
+    slopes = []
+    for i in range(REPEATS):
+        t1 = chain(1, 100 + 16 * i)
+        t2 = chain(4, 200 + 16 * i)
+        slopes.append((t2 - t1) / 3)
+    best = min(slopes)
     ms_per_step = best / STEPS * 1e3
     log(f"{label}: {ms_per_step:.3f} ms/step  "
         f"({BATCH * SEQ * STEPS / best:.0f} step-tokens/s)")
@@ -135,10 +153,10 @@ def main():
     out = {}
     for pname, p in [("bf16", params_bf16), ("int4a8", qparams)]:
         for variant, kw in [
-            ("flash", dict(attn="flash")),
+            ("fused", dict(attn="fused")),
             ("einsum", dict(attn="einsum")),
             ("attn_identity", dict(attn="identity")),
-            ("no_ln", dict(attn="flash", ln=False)),
+            ("no_ln", dict(attn="fused", ln=False)),
         ]:
             out[f"{pname}/{variant}"] = round(
                 time_run(build(cfg, p, **kw), f"{pname}/{variant}"), 3)

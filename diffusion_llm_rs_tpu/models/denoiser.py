@@ -136,10 +136,12 @@ def attention(
     mask: Optional[jax.Array] = None,  # [B, 1, S, Skv] additive
 ) -> jax.Array:
     Hd = q.shape[-1]
-    if mask is None:
-        # unmasked full-sequence attention (the sampler hot loop): Pallas
-        # flash kernel — the [S, Skv] logits never touch HBM, vs the XLA
-        # einsum path's f32 materialization + separate softmax passes
+    if mask is None and k.shape[1] >= 1024:
+        # unmasked long-S attention: Pallas flash kernel — the [S, Skv]
+        # logits never touch HBM. At short S the fold/unfold transposes
+        # cost more than the einsum path's materialization (measured:
+        # benchmarks/profile_step.py round 4), and the sampler hot loop
+        # uses `fused_qkv_attention` before ever reaching here.
         from diffusion_llm_rs_tpu.ops.matmul import use_pallas
         if use_pallas():
             from diffusion_llm_rs_tpu.ops.pallas_attention import (
@@ -196,6 +198,7 @@ def denoiser_forward(
     H = cfg.num_attention_heads
     dtype = x.dtype
 
+    has_tap = tap is not None
     if tap is None:
         tap = lambda name, val: None
     temb = timestep_embedding(t, D)
@@ -210,12 +213,22 @@ def denoiser_forward(
     if attn_mask is not None:
         mask = (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * -1e9
 
+    from diffusion_llm_rs_tpu.ops.matmul import Int8Weight, int8_mlp
+
     new_ks, new_vs = [], []
     for li, blk in enumerate(params["blocks"]):
         hn = layer_norm(h, blk["ln1"])
         a = blk["attn"]
         tap(f"blocks/{li}/attn/wqkv", hn)
         qkv = linear(hn, a["wqkv"])  # [B, S, 3D]
+        # Kernel choice (measured, benchmarks/microbench_ops.py r4): at
+        # S=256 XLA's batched einsum+softmax runs this attention in
+        # ~31 us/layer vs ~70 us for an in-VMEM fused-QKV Pallas kernel
+        # (pallas_attention.fused_qkv_attention) — per-head MXU dots are too
+        # small to beat two large batched matmuls, so Pallas kernels are
+        # reserved for the long-S regime (`attention()` dispatches to
+        # dense_attention at Skv >= 1024, where einsum's S^2 f32
+        # materialization loses).
         q = _split_heads(qkv[..., :D], H)
         k = _split_heads(qkv[..., D:2 * D], H)
         v = _split_heads(qkv[..., 2 * D:], H)
@@ -223,18 +236,19 @@ def denoiser_forward(
             new_ks.append(k)
             new_vs.append(v)
         if attend_fn is not None:
-            # serving path: the caller owns attention (e.g. paged quantized
-            # KV — update pages with fresh K/V, then attend over them,
-            # preserving the reference's update-then-read order,
-            # `diffuse-llm-rs/src/lib.rs:907-918`)
+            # serving path: the caller owns attention (e.g. paged
+            # quantized KV — update pages with fresh K/V, then attend
+            # over them, preserving the reference's update-then-read
+            # order, `diffuse-llm-rs/src/lib.rs:907-918`)
             attn_out = attend_fn(li, q, k, v, mask).astype(dtype)
         elif cached_qkv is not None:
-            # packed path: Pallas flash attention reads quantized K/V directly
+            # packed path: Pallas flash attention reads quantized K/V
             from diffusion_llm_rs_tpu.ops import pallas_attention as pa
             qk, qv = cached_qkv[li]
             q_r = q.transpose(0, 2, 1, 3).reshape(B * H, S, D // H)
             attn_out = pa.attention(q_r.astype(dtype), qk, qv)
-            attn_out = attn_out.reshape(B, H, S, D // H).transpose(0, 2, 1, 3)
+            attn_out = attn_out.reshape(
+                B, H, S, D // H).transpose(0, 2, 1, 3)
             attn_out = attn_out.astype(dtype)
         else:
             if cached_kv is not None:
@@ -243,14 +257,20 @@ def denoiser_forward(
             attn_out = attention(q, k, v, mask)
         ao = attn_out.reshape(B, S, D)
         tap(f"blocks/{li}/attn/wo", ao)
-        h = h + linear(ao, a["wo"])
+        h = linear(ao, a["wo"], residual=h)
 
         hn = layer_norm(h, blk["ln2"])
         m = blk["mlp"]
         tap(f"blocks/{li}/mlp/w1", hn)
-        inner = linear(hn, m["w1"], m["b1"], activation="gelu")
-        tap(f"blocks/{li}/mlp/w2", inner)
-        h = h + linear(inner, m["w2"], m["b2"])
+        if (isinstance(m["w1"], Int8Weight) and isinstance(m["w2"], Int8Weight)
+                and not has_tap):
+            # fused MLP kernel: the [B, S, 4D] inner activation never
+            # round-trips HBM (same act-quant math as two linears)
+            h = int8_mlp(hn, m["w1"], m["b1"], m["w2"], m["b2"], residual=h)
+        else:
+            inner = linear(hn, m["w1"], m["b1"], activation="gelu")
+            tap(f"blocks/{li}/mlp/w2", inner)
+            h = linear(inner, m["w2"], m["b2"], residual=h)
 
     h = layer_norm(h, params["ln_f"])
     tap("head/w", h)

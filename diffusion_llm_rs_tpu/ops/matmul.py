@@ -100,17 +100,19 @@ def decode_to_int8(w) -> Int8Weight:
 def int8_linear(x: jax.Array, w: Int8Weight,
                 b: Optional[jax.Array] = None,
                 activation: Optional[str] = None,
+                residual: Optional[jax.Array] = None,
                 out_dtype=jnp.float32) -> jax.Array:
-    """y = act(quant_act(x) @ w8 * sx * col_scale + b).
+    """y = act(quant_act(x) @ w8 * sx * col_scale + b) (+ residual).
 
-    On TPU this fuses act-quant + int8 MXU dot + scale/bias/gelu epilogue
-    into one Pallas tile (`pallas_matmul.int8w_matmul`) — one pass over x
-    instead of XLA's separate amax/quantize/dot/scale passes; identical
-    math. XLA path elsewhere / for kernel-unfriendly shapes."""
+    On TPU this fuses act-quant + int8 MXU dot + scale/bias/gelu/residual
+    epilogue into one Pallas tile (`pallas_matmul.int8w_matmul`) — one pass
+    over x instead of XLA's separate amax/quantize/dot/scale passes;
+    identical math. XLA path elsewhere / for kernel-unfriendly shapes."""
     if use_pallas():
         from diffusion_llm_rs_tpu.ops import pallas_matmul
         out = pallas_matmul.int8w_matmul(x, w.data, w.col_scale, bias=b,
                                          activation=activation,
+                                         residual=residual,
                                          out_dtype=out_dtype)
         if out is not None:
             return out
@@ -125,7 +127,30 @@ def int8_linear(x: jax.Array, w: Int8Weight,
         y = y + b.reshape(1, -1).astype(jnp.float32)
     if activation == "gelu":
         y = jax.nn.gelu(y)
-    return y.reshape(*x.shape[:-1], w.data.shape[1]).astype(out_dtype)
+    y = y.reshape(*x.shape[:-1], w.data.shape[1]).astype(out_dtype)
+    if residual is not None:
+        y = y + residual.astype(out_dtype)
+    return y
+
+
+def int8_mlp(x: jax.Array, w1: Int8Weight, b1: jax.Array, w2: Int8Weight,
+             b2: jax.Array, residual: Optional[jax.Array] = None,
+             out_dtype=None) -> jax.Array:
+    """Fused MLP block gelu(x @ w1 + b1) @ w2 + b2 (+ residual) over
+    decoded int8 weights — the [.., 4D] inner activation never round-trips
+    HBM on TPU (`pallas_matmul.int8w_mlp`). Falls back to two
+    `int8_linear` calls (identical activation-quantization math)."""
+    out_dtype = out_dtype or x.dtype
+    if use_pallas():
+        from diffusion_llm_rs_tpu.ops import pallas_matmul
+        out = pallas_matmul.int8w_mlp(
+            x, w1.data, w1.col_scale, b1, w2.data, w2.col_scale, b2,
+            residual=residual, out_dtype=out_dtype)
+        if out is not None:
+            return out
+    inner = int8_linear(x, w1, b1, activation="gelu", out_dtype=out_dtype)
+    return int8_linear(inner, w2, b2, residual=residual,
+                       out_dtype=out_dtype)
 
 _FORCE_FALLBACK = os.environ.get("DLM_TPU_NO_PALLAS", "0") == "1"
 
@@ -175,23 +200,27 @@ def linear(
     *,
     preferred_dtype=None,
     activation: Optional[str] = None,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Dense layer y = act(x @ w + b) with quantization-aware dispatch.
+    """Dense layer y = act(x @ w + b) (+ residual) with quantization-aware
+    dispatch.
 
-    `activation` ("gelu" or None) fuses into the Pallas kernel epilogue for
-    packed weights; other paths apply it after (XLA fuses it there).
+    `activation` ("gelu" or None) and `residual` fuse into the Pallas
+    kernel epilogue for int8-decoded weights; other paths apply them after
+    (XLA fuses them there).
     """
     out_dtype = preferred_dtype or x.dtype
     if isinstance(w, Int8Weight):
-        return int8_linear(x, w, b, activation, out_dtype)
+        return int8_linear(x, w, b, activation, residual, out_dtype)
     # MatmulWeight: kernel-ready packed layout -> Pallas fused dequant+matmul
     from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight
     if isinstance(w, MatmulWeight):
         from diffusion_llm_rs_tpu.ops import pallas_matmul
         # kernel accumulates f32 on the MXU and writes out_dtype directly;
         # bias + activation run in the kernel epilogue
-        return pallas_matmul.matmul(x, w, out_dtype=out_dtype, bias=b,
-                                    activation=activation)
+        y = pallas_matmul.matmul(x, w, out_dtype=out_dtype, bias=b,
+                                 activation=activation)
+        return y if residual is None else y + residual.astype(y.dtype)
     if isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, preferred_dtype=jnp.float32).astype(out_dtype)
     elif isinstance(w, Fp8Tensor):
@@ -207,4 +236,6 @@ def linear(
         y = jax.nn.gelu(y)
     elif activation is not None:
         raise ValueError(f"unknown activation {activation!r}")
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
     return y

@@ -277,6 +277,69 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16))
 
 
+def _qkv_kernel(qkv_ref, out_ref, *, H: int, D: int, sm_scale: float):
+    """One batch row of fused-QKV attention: all H heads computed in-kernel
+    from the packed [S, 3D] projection, no head transposes, logits never
+    leave VMEM. Lane-slicing per head costs a VPU shuffle; it replaces two
+    [B,S,H,Hd]<->[B*H,S,Hd] HBM transpose round trips per layer."""
+    Hd = D // H
+    qkv = qkv_ref[0]                      # [S, 3D] bf16
+    for h in range(H):
+        q = qkv[:, h * Hd:(h + 1) * Hd]
+        k = qkv[:, D + h * Hd: D + (h + 1) * Hd]
+        v = qkv[:, 2 * D + h * Hd: 2 * D + (h + 1) * Hd]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale     # [S, S]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [S, Hd]
+        out_ref[0, :, h * Hd:(h + 1) * Hd] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale",
+                                             "out_dtype"))
+def fused_qkv_attention(qkv: jax.Array, num_heads: int,
+                        sm_scale: Optional[float] = None,
+                        out_dtype=jnp.bfloat16) -> Optional[jax.Array]:
+    """Full-sequence bidirectional attention straight off the fused QKV
+    projection: qkv [B, S, 3D] -> out [B, S, D] (head-concatenated).
+
+    The sampler-hot-loop fast path: one HBM read of the projection and one
+    write of the output per layer — no [B,S,H,Hd] split/transpose traffic
+    and no [B,H,S,S] logits materialization (the XLA einsum path pays both).
+    Returns None when S doesn't fit the whole-row VMEM budget (long-S goes
+    through `dense_attention`'s KV-tiled online softmax instead).
+    """
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    if threeD % 3 or D % num_heads or (D // num_heads) % 8:
+        return None
+    # whole [S, 3D] + [S, S] logits + out resident per program
+    if S % 8 or S * threeD * 2 + S * S * 4 + S * D * 2 > 8 * 1024 * 1024:
+        return None
+    sm_scale = sm_scale if sm_scale is not None else \
+        1.0 / math.sqrt(D // num_heads)
+    return pl.pallas_call(
+        functools.partial(_qkv_kernel, H=num_heads, D=D, sm_scale=sm_scale),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, S, threeD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, S, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * S * S * (D // num_heads),
+            bytes_accessed=B * S * (threeD + D) * 2,
+            transcendentals=B * num_heads * S * S,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv.astype(jnp.bfloat16))
+
+
 def _attention_fallback(q, k: QuantKV, v: QuantKV, sm_scale: float):
     kd = k.dequantize(jnp.bfloat16)
     vd = v.dequantize(jnp.bfloat16)

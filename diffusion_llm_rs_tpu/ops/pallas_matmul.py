@@ -312,38 +312,47 @@ def _kernel_i8(x_ref, xs_ref, w_ref, scale_ref, zp_ref, cs_ref, *args,
     out_ref[:] = y.astype(out_ref.dtype)
 
 
-def _kernel_i8w(x_ref, w_ref, cs_ref, *args,
-                activation: Optional[str] = None, has_bias: bool = False):
-    """Decoded-int8 fused tile: in-kernel per-ROW activation quantization
-    (amax over the tile's K axis — rows are complete, so scales are exact),
-    int8x8->int32 MXU dot, rank-1 scale + bias + gelu epilogue. One pass
-    over x instead of XLA's three (amax pass, quantize pass, dot)."""
-    if has_bias:
-        b_ref, out_ref = args
-    else:
-        (out_ref,) = args
-        b_ref = None
-    xf = x_ref[:].astype(jnp.float32)
+def _quant_rows(xf: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization of a VMEM-resident f32 tile."""
     amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
     sx = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xi = jnp.round(xf / sx).astype(jnp.int8)
+    return jnp.round(xf / sx).astype(jnp.int8), sx
+
+
+def _kernel_i8w(x_ref, w_ref, cs_ref, *args,
+                activation: Optional[str] = None, has_bias: bool = False,
+                has_resid: bool = False):
+    """Decoded-int8 fused tile: in-kernel per-ROW activation quantization
+    (amax over the tile's K axis — rows are complete, so scales are exact),
+    int8x8->int32 MXU dot, rank-1 scale + bias + gelu + residual epilogue.
+    One pass over x instead of XLA's three (amax pass, quantize pass, dot),
+    and the residual add costs no separate [M, N] HBM round trip."""
+    args = list(args)
+    b_ref = args.pop(0) if has_bias else None
+    r_ref = args.pop(0) if has_resid else None
+    (out_ref,) = args
+    xf = x_ref[:].astype(jnp.float32)
+    xi, sx = _quant_rows(xf)
     acc = jnp.dot(xi, w_ref[:], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * cs_ref[0:1, :]
     if b_ref is not None:
         y = y + b_ref[0:1, :].astype(jnp.float32)
     if activation == "gelu":
         y = jax.nn.gelu(y)
+    if r_ref is not None:
+        y = y + r_ref[:].astype(jnp.float32)
     out_ref[:] = y.astype(out_ref.dtype)
 
 
 def int8w_matmul(x: jax.Array, data: jax.Array, col_scale: jax.Array,
                  bias: Optional[jax.Array] = None,
                  activation: Optional[str] = None,
+                 residual: Optional[jax.Array] = None,
                  out_dtype=jnp.float32) -> Optional[jax.Array]:
     """x [..., K] @ int8 weight [K, N] (decoded `ops.matmul.Int8Weight`
-    layout) via the fused Pallas tile. Returns None for kernel-unfriendly
-    shapes or weights too large for VMEM (caller falls back to the XLA
-    path — same math)."""
+    layout) via the fused Pallas tile. `residual` [..., N] adds in the
+    epilogue. Returns None for kernel-unfriendly shapes or weights too
+    large for VMEM (caller falls back to the XLA path — same math)."""
     lead = x.shape[:-1]
     K, N = data.shape
     x2 = x.reshape(-1, K)
@@ -364,9 +373,14 @@ def int8w_matmul(x: jax.Array, data: jax.Array, col_scale: jax.Array,
         specs.append(pl.BlockSpec((1, N), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM))
         inputs.append(bias.reshape(1, N).astype(jnp.float32))
+    if residual is not None:
+        specs.append(pl.BlockSpec((TM, N), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        inputs.append(residual.reshape(-1, N))
     out = pl.pallas_call(
         functools.partial(_kernel_i8w, activation=activation,
-                          has_bias=bias is not None),
+                          has_bias=bias is not None,
+                          has_resid=residual is not None),
         grid=(M // TM,),
         in_specs=specs,
         out_specs=pl.BlockSpec((TM, N), lambda i: (i, 0),
@@ -380,6 +394,87 @@ def int8w_matmul(x: jax.Array, data: jax.Array, col_scale: jax.Array,
         interpret=jax.default_backend() != "tpu",
     )(*inputs)
     return out.reshape(*lead, N)
+
+
+def _kernel_i8_mlp(x_ref, w1_ref, cs1_ref, b1_ref, w2_ref, cs2_ref, b2_ref,
+                   *args, has_resid: bool = False):
+    """Fused transformer-MLP tile: quant -> int8 dot (w1) -> bias+gelu ->
+    re-quant -> int8 dot (w2) -> bias (+residual). The [TM, 4D] inner
+    activation lives and dies in VMEM — the separate-matmul path writes it
+    to HBM and reads it back (2 x M x 4D x 2B per layer, the single largest
+    activation stream in the block)."""
+    args = list(args)
+    r_ref = args.pop(0) if has_resid else None
+    (out_ref,) = args
+    xf = x_ref[:].astype(jnp.float32)
+    xi, sx = _quant_rows(xf)
+    acc1 = jnp.dot(xi, w1_ref[:], preferred_element_type=jnp.int32)
+    y1 = acc1.astype(jnp.float32) * sx * cs1_ref[0:1, :] \
+        + b1_ref[0:1, :].astype(jnp.float32)
+    y1 = jax.nn.gelu(y1)
+    yi, sy = _quant_rows(y1)
+    acc2 = jnp.dot(yi, w2_ref[:], preferred_element_type=jnp.int32)
+    y2 = acc2.astype(jnp.float32) * sy * cs2_ref[0:1, :] \
+        + b2_ref[0:1, :].astype(jnp.float32)
+    if r_ref is not None:
+        y2 = y2 + r_ref[:].astype(jnp.float32)
+    out_ref[:] = y2.astype(out_ref.dtype)
+
+
+def int8w_mlp(x: jax.Array, w1_data: jax.Array, cs1: jax.Array,
+              b1: jax.Array, w2_data: jax.Array, cs2: jax.Array,
+              b2: jax.Array, residual: Optional[jax.Array] = None,
+              out_dtype=jnp.bfloat16) -> Optional[jax.Array]:
+    """Fused x @ w1 -> gelu -> @ w2 (+residual) over decoded int8 weights.
+
+    Activation-quantization math is identical to chaining two
+    `int8w_matmul` calls (per-row symmetric int8 at each matmul input);
+    only the HBM round trip of the inner activation is removed. Returns
+    None when both weights + the inner tile don't fit VMEM."""
+    lead = x.shape[:-1]
+    K, N1 = w1_data.shape
+    K2, N2 = w2_data.shape
+    if N1 != K2:
+        return None
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    TM = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
+    vmem = (K * N1 + K2 * N2) + TM * N1 * 4 if TM else 0
+    if TM is None or vmem > 11 * 1024 * 1024 or K % 32 or N1 % 32:
+        return None
+    specs = [
+        pl.BlockSpec((TM, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, N1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K2, N2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, N2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [x2.astype(jnp.bfloat16), w1_data,
+              cs1.reshape(1, N1).astype(jnp.float32),
+              b1.reshape(1, N1).astype(jnp.float32), w2_data,
+              cs2.reshape(1, N2).astype(jnp.float32),
+              b2.reshape(1, N2).astype(jnp.float32)]
+    if residual is not None:
+        specs.append(pl.BlockSpec((TM, N2), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        inputs.append(residual.reshape(-1, N2))
+    out = pl.pallas_call(
+        functools.partial(_kernel_i8_mlp, has_resid=residual is not None),
+        grid=(M // TM,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((TM, N2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N2), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N1 + 2 * M * K2 * N2,
+            bytes_accessed=M * K * 2 + K * N1 + K2 * N2 + M * N2 * 2,
+            transcendentals=M * N1,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+    return out.reshape(*lead, N2)
 
 
 def a8_matmul_reference(x2: jax.Array, w: MatmulWeight,

@@ -99,6 +99,10 @@ class ContinuousBatcher:
         self.slot_request: List[Optional[Request]] = [None] * B
         self.queue: Deque[Request] = deque()
         self.completions: Deque[Completion] = deque()
+        # retires whose decode is dispatched but not yet transferred — the
+        # host transfer happens AFTER the next wave is dispatched, so it
+        # overlaps device compute instead of serializing the loop
+        self._pending_retires: List[tuple] = []
         self._decode_fn: Optional[Callable] = None
         self._admit_fn: Optional[Callable] = None
         # sanitizers (utils/sanitize.py, SURVEY.md §5.2): the host loop is
@@ -195,9 +199,13 @@ class ContinuousBatcher:
         active_mask = self.t >= 0
         n_active = int(active_mask.sum())
         if n_active == 0:
+            self._flush_retires()
             return 0
         self._key, sub = jax.random.split(self._key)
         self._invoke_step(active_mask, jax.random.split(sub, self.num_slots))
+        # previous wave's deferred retires: transfer now, overlapping the
+        # wave just dispatched
+        self._flush_retires()
         finished = active_mask & (self.t == 0)
         self.t = np.where(active_mask, self.t - 1, self.t)
         metrics.inc("batcher.steps")
@@ -206,31 +214,45 @@ class ContinuousBatcher:
         return n_active
 
     def _retire(self, finished: np.ndarray) -> None:
-        """Decode + emit completions for finished slots, free the slots.
+        """Dispatch the retirement decode and free the slots; the host
+        transfer is DEFERRED to `_flush_retires`.
 
         Token decode runs as ONE jitted all-slots call (static shape, no
         per-slot dispatch): an eager per-slot readout was measured at ~75 ms
         per retired request through the TPU tunnel — more than the denoise
-        steps themselves (DESIGN.md perf log, round 3)."""
+        steps themselves (DESIGN.md perf log, round 3). Deferring the
+        transfer to after the NEXT wave's dispatch overlaps it with device
+        compute instead of serializing the loop on every retirement wave
+        (VERDICT r3 weak #7). Slot bookkeeping is host state, so slots are
+        reusable immediately — the decode's device buffers are immutable."""
         if not finished.any():
             return
         if self._decode_fn is None:
             self._decode_fn = jax.jit(dn.decode_tokens)
-        tokens_all = self._to_host(
-            self._decode_fn(self.readout_params, self.x))   # [B, S]
-        x_host = self._to_host(self.x) if self.keep_embeddings else None
+        tokens_dev = self._decode_fn(self.readout_params, self.x)  # async
+        x_dev = self.x if self.keep_embeddings else None
+        entries = []
         for slot in np.nonzero(finished)[0]:
-            req = self.slot_request[slot]
-            self.completions.append(Completion(
-                request_id=req.request_id,
-                tokens=tokens_all[slot, : req.seq_len],
-                embeddings=(x_host[slot, : req.seq_len]
-                            if x_host is not None else None),
-                steps=req.num_steps,
-                latency_s=time.time() - req.submitted_at))
+            entries.append((int(slot), self.slot_request[slot]))
             self.slot_request[slot] = None
             self.t[slot] = -1
             metrics.inc("batcher.completed")
+        self._pending_retires.append((tokens_dev, x_dev, entries, time.time()))
+
+    def _flush_retires(self) -> None:
+        """Materialize deferred retirement decodes into Completions."""
+        for tokens_dev, x_dev, entries, t_done in self._pending_retires:
+            tokens_all = self._to_host(tokens_dev)            # [B, S]
+            x_host = self._to_host(x_dev) if x_dev is not None else None
+            for slot, req in entries:
+                self.completions.append(Completion(
+                    request_id=req.request_id,
+                    tokens=tokens_all[slot, : req.seq_len],
+                    embeddings=(x_host[slot, : req.seq_len]
+                                if x_host is not None else None),
+                    steps=req.num_steps,
+                    latency_s=t_done - req.submitted_at))
+        self._pending_retires.clear()
 
     def _to_host(self, arr) -> np.ndarray:
         """Device -> host transfer for retirement readout. The sharded
@@ -244,11 +266,13 @@ class ContinuousBatcher:
         while (self.queue or self.active_slots()) and steps < max_steps:
             self.step()
             steps += 1
+        self._flush_retires()
         out = list(self.completions)
         self.completions.clear()
         return out
 
     def stats(self) -> Dict[str, float]:
+        self._flush_retires()
         return {
             "queued": len(self.queue),
             "active": self.active_slots(),
@@ -964,7 +988,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.asarray(totals), seq_lens,
             jnp.asarray(self.page_scores, jnp.float32), self.pools, used, c)
         if self.salience_routing:
-            self.page_scores = np.asarray(scores)
+            # np.array (writable copy): np.asarray of a jax array is a
+            # READ-ONLY view, and _admit writes per-slot resets into it
+            self.page_scores = np.array(scores)
         new_t = np.where(active_mask, self.t - c, self.t)
         metrics.inc("batcher.steps", c)
         metrics.inc("batcher.slot_steps", n_active * c)

@@ -235,3 +235,14 @@ def test_salience_chunk_bucket_pruning_is_sound_and_effective():
         b.step()
     # effectiveness: at least one chunk ran without the widest bucket
     assert any(max(b.buckets) not in u for u in seen_used), seen_used
+
+
+def test_admission_after_chunk_resets_scores_writable():
+    """Admitting into a slot AFTER a fused chunk ran must not crash:
+    the chunk returns device scores and np.asarray views are read-only
+    (regression: ValueError 'assignment destination is read-only')."""
+    cfg, b = _make(max_chunk=8)
+    for i in range(4):   # 2 slots, 2 admission waves
+        b.submit(Request(f"r{i}", seq_len=16, num_steps=5))
+    done = b.run_until_drained()
+    assert len(done) == 4
