@@ -52,9 +52,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, *args):
+def timeit(fn, *args, n_rep=None):
     """Slope timing (chain 3 calls vs 1, one sync each): cancels the ~23 ms
-    tunnel sync instead of adding 23/N ms per scanned call (CLAUDE.md)."""
+    tunnel sync instead of adding 23/N ms per scanned call (CLAUDEmd); the
+    per-call work must be large vs the ~15 ms sync jitter, so short-S rows
+    scale the scan length up (run_row's n_rep)."""
+    n_rep = n_rep or N
     r = fn(*args)
     jax.block_until_ready(r)
 
@@ -65,8 +68,8 @@ def timeit(fn, *args):
         float(jnp.sum(jax.tree_util.tree_leaves(r)[0].astype(jnp.float32)))
         return time.perf_counter() - t0
 
-    slopes = [(chain(3) - chain(1)) / 2 for _ in range(3)]
-    return min(slopes) / N * 1e3                  # ms per scanned call
+    slopes = sorted((chain(3) - chain(1)) / 2 for _ in range(3))
+    return slopes[1] / n_rep * 1e3                # ms per scanned call
 
 
 def make_pool(S, bits, key):
@@ -109,6 +112,7 @@ def _einsum_attention(q, k, v):
 def run_row(S, bits_list=(4, 2)):
     """Measure one sequence length; returns the JSON row dict."""
     key = jax.random.PRNGKey(0)
+    n_rep = N * max(1, (4096 // max(S, 1)) ** 2)
     if True:
         nps = S // PG
         kq = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, Hd),
@@ -125,9 +129,9 @@ def run_row(S, bits_list=(4, 2)):
             def body(c, _):
                 o = _einsum_attention(c, k, v)
                 return c + 0.001 * o, None
-            out, _ = jax.lax.scan(body, q, None, length=N)
+            out, _ = jax.lax.scan(body, q, None, length=n_rep)
             return out
-        dense_ms = timeit(dense_scan, q4, k4, v4)
+        dense_ms = timeit(dense_scan, q4, k4, v4, n_rep=n_rep)
 
         # --- dense bf16 FLASH attention (the fair unquantized baseline:
         # separates the don't-materialize-S^2 win from the quantized-KV
@@ -143,9 +147,9 @@ def run_row(S, bits_list=(4, 2)):
             def body(c, _):
                 o = dense_attention(c, kf, vf)
                 return c + 0.001 * o.astype(c.dtype), None
-            out, _ = jax.lax.scan(body, qf, None, length=N)
+            out, _ = jax.lax.scan(body, qf, None, length=n_rep)
             return out
-        flash_ms = timeit(flash_scan, q4, k4, v4)
+        flash_ms = timeit(flash_scan, q4, k4, v4, n_rep=n_rep)
 
         # --- dense fake-quant int4 (attend_mode="dense" reconstruction) -
         @jax.jit
@@ -159,9 +163,9 @@ def run_row(S, bits_list=(4, 2)):
                             .astype(z.dtype))
                 o = _einsum_attention(c, fq(k), fq(v))
                 return c + 0.001 * o, None
-            out, _ = jax.lax.scan(body, q, None, length=N)
+            out, _ = jax.lax.scan(body, q, None, length=n_rep)
             return out
-        fq_ms = timeit(fq_scan, q4, k4, v4)
+        fq_ms = timeit(fq_scan, q4, k4, v4, n_rep=n_rep)
 
         row = {"seq_len": S, "batch": B,
                "dense_bf16_ms": round(dense_ms, 3),
@@ -180,10 +184,11 @@ def run_row(S, bits_list=(4, 2)):
                         c, pt, nt, npg, kd, ks, kz, vd, vs, vz,
                         bits=bits, head_group=G)
                     return c + 0.001 * o.astype(c.dtype), None
-                out, _ = jax.lax.scan(body, q, None, length=N)
+                out, _ = jax.lax.scan(body, q, None, length=n_rep)
                 return out
             row[f"paged_int{bits}_ms"] = round(
-                timeit(paged_scan, kq, kd, ks, kz, vd, vs, vz), 3)
+                timeit(paged_scan, kq, kd, ks, kz, vd, vs, vz,
+                       n_rep=n_rep), 3)
             packed = sum(int(a.size) * a.dtype.itemsize
                          for a in (kd, ks, kz, vd, vs, vz))
             row[f"kv_bytes_int{bits}"] = packed

@@ -290,36 +290,43 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                     np_ref,      # scalar prefetch [B] pages per slot
                     q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
                     out_ref, lse_ref,
-                    kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, sems,
+                    kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, acc_ref, ml_ref,
+                    sems,
                     *, bits: int, D: int, P: int, sm_scale: float,
-                    G: int = 1):
-    """One (batch-slot, head-group, q-tile) grid cell; the page LOOP BOUND is
-    the slot's dynamic page count (scalar-prefetched), so inactive slots cost
+                    G: int = 1, QC: int = 2048):
+    """One (batch-slot, head-group) grid cell; the page LOOP BOUND is the
+    slot's dynamic page count (scalar-prefetched), so inactive slots cost
     nothing and sequence lengths vary per slot without recompilation.
 
+    Round-4 restructure: the WHOLE query sequence lives in the cell (chunked
+    at QC rows) and pages are the outer loop, so each page is DMA'd and
+    unpacked exactly ONCE per (slot, head-group) — the previous per-q-tile
+    grid re-fetched and re-unpacked every page Sq/TQ times, which at S=4096
+    made the kernel 3.4x slower than the dense bf16 flash kernel. All
+    accumulation is TRANSPOSED ([GD, Sq]: channels in sublanes, query
+    positions in lanes) so online-softmax stats are cheap [1, Sq] lane
+    rows and the head-g accumulator band is a contiguous sublane slice.
+
     With G > 1 (head grouping, for head_dim D < 128), G heads share the
-    128-lane page block ([.. | head g lanes | ..]) and per-head online
-    softmax runs via LANE MASKS: q is zero-masked to head g's lanes before
-    the full-width dot (so the contraction never mixes heads), and the
-    per-head accumulator keeps only head g's output lanes. No sub-128 lane
-    slicing anywhere — only multiplies by constant 0/1 vectors.
+    128-lane page block and q is zero-masked to head g's lanes before each
+    full-width dot (the contraction never mixes heads); head g's output is
+    rows [g*D, (g+1)*D) of the transposed accumulator.
     """
     vpb = 8 // bits
     mask = (1 << bits) - 1
     b = pl.program_id(0)
     h = pl.program_id(1)               # head-group index
     count = np_ref[b]
-    q = q_ref[0, 0]                    # [TQ, G*D] bf16 (G heads in lanes)
-    TQ = q.shape[0]
+    q = q_ref[0, 0]                    # [Sq, G*D] bf16 (G heads in lanes)
+    Sq = q.shape[0]
     GD = G * D
+    n_chunks = max(Sq // QC, 1)
+    QC = min(QC, Sq)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, GD), 1)
     lane_masks = [(lane // D == g).astype(jnp.float32) for g in range(G)]
-
-    qf = q.astype(jnp.float32)
-    q_gs = [(qf * lane_masks[g]).astype(jnp.bfloat16) for g in range(G)]
-    qsum_gs = [jnp.sum(qf * lane_masks[g], axis=1, keepdims=True)
-               for g in range(G)]
+    subl = jax.lax.broadcasted_iota(jnp.int32, (GD, 1), 0)
+    band_masks = [(subl // D == g).astype(jnp.float32) for g in range(G)]
 
     refs = (kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref)
     bufs = (kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf)
@@ -347,11 +354,11 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
     def _():
         start_dma(0, 0)
 
-    init = []
-    for _ in range(G):
-        init += [jnp.full((TQ, 1), NEG_INF, jnp.float32),
-                 jnp.zeros((TQ, 1), jnp.float32),
-                 jnp.zeros((TQ, GD), jnp.float32)]
+    acc_ref[...] = jnp.zeros((GD, Sq), jnp.float32)
+    # per-head online-softmax stats in scratch (Mosaic has no
+    # dynamic_update_slice on values): m_g at row g, l_g at row G+g
+    ml_ref[0:G, :] = jnp.full((G, Sq), NEG_INF, jnp.float32)
+    ml_ref[G:2 * G, :] = jnp.zeros((G, Sq), jnp.float32)
 
     def body(j, carry):
         slot_buf = j % 2
@@ -363,53 +370,65 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
         wait_dma(j, slot_buf)
         k_lv = unpack(kbuf, slot_buf)                  # [P, G*D]
         v_lv = unpack(vbuf, slot_buf)
-        # sidecars [G, P]: head g's tokens in ROW g (sublane slicing only)
+        # sidecars [G, P] -> per-head [P, 1] columns for transposed math
         ks_all = ksbuf[slot_buf]
         kz_all = kzbuf[slot_buf]
         vs_all = vsbuf[slot_buf]
         vz_all = vzbuf[slot_buf]
         valid = nt_ref[b, j]
+        tokcol = jax.lax.broadcasted_iota(jnp.int32, (P, QC), 0)
 
-        out = list(carry)
         for g in range(G):
-            m, l, acc = out[3 * g], out[3 * g + 1], out[3 * g + 2]
-            ks, kz = ks_all[g:g + 1, :], kz_all[g:g + 1, :]
-            vs, vz = vs_all[g:g + 1, :], vz_all[g:g + 1, :]
-            raw = jax.lax.dot_general(
-                q_gs[g], k_lv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [TQ, P]
-            logits = (raw * ks - qsum_gs[g] * (ks * kz)) * sm_scale
-            tok = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(tok < valid, logits, NEG_INF)
+            ks = ks_all[g:g + 1, :].reshape(P, 1)
+            kz = kz_all[g:g + 1, :].reshape(P, 1)
+            vs = vs_all[g:g + 1, :].reshape(P, 1)
+            vz = vz_all[g:g + 1, :].reshape(P, 1)
+            for c in range(n_chunks):
+                q0 = c * QC
+                qc = q[q0:q0 + QC, :].astype(jnp.float32)
+                if G > 1:
+                    qc = qc * lane_masks[g]
+                qg = qc.astype(jnp.bfloat16)
+                qsum = jnp.sum(qc, axis=1, keepdims=True).reshape(1, QC)
+                m = ml_ref[g:g + 1, q0:q0 + QC]        # [1, QC]
+                l = ml_ref[G + g:G + g + 1, q0:q0 + QC]
+                raw = jax.lax.dot_general(
+                    k_lv, qg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [P, QC]
+                logits = (raw * ks - (ks * kz) * qsum) * sm_scale
+                logits = jnp.where(tokcol < valid, logits, NEG_INF)
 
-            m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
-            p = jnp.exp(logits - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                m_new = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
+                p = jnp.exp(logits - m_new)                # [P, QC]
+                alpha = jnp.exp(m - m_new)                 # [1, QC]
+                l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-            ps = (p * vs).astype(jnp.bfloat16)
-            pv = jax.lax.dot_general(
-                ps, v_lv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [TQ, G*D]
-            corr = jnp.sum(p * vs * vz, axis=1, keepdims=True)
-            upd = (pv - corr) * lane_masks[g] if G > 1 else pv - corr
-            out[3 * g], out[3 * g + 1], out[3 * g + 2] = (
-                m_new, l_new, acc * alpha + upd)
-        return tuple(out)
+                ps = (p * vs).astype(jnp.bfloat16)
+                pv = jax.lax.dot_general(
+                    v_lv, ps, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # [GD, QC]
+                corr = jnp.sum(p * vs * vz, axis=0, keepdims=True)  # [1, QC]
+                band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
+                acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
+                    band * alpha + pv[g * D:(g + 1) * D, :] - corr)
+                ml_ref[g:g + 1, q0:q0 + QC] = m_new
+                ml_ref[G + g:G + g + 1, q0:q0 + QC] = l_new
+        return carry
 
-    res = jax.lax.fori_loop(0, count, body, tuple(init))
-    acc_total = jnp.zeros((TQ, GD), jnp.float32)
+    jax.lax.fori_loop(0, count, body, 0)
+    acc = acc_ref[...]
     lses = []
+    inv = jnp.zeros((GD, Sq), jnp.float32)
     for g in range(G):
-        m, l, acc = res[3 * g], res[3 * g + 1], res[3 * g + 2]
+        m = ml_ref[g:g + 1, :]
+        l = ml_ref[G + g:G + g + 1, :]
         safe_l = jnp.where(l > 0, l, 1.0)
-        contrib = acc / safe_l
-        acc_total = acc_total + (contrib * lane_masks[g] if G > 1
-                                 else contrib)
+        inv_g = (1.0 / safe_l)                         # [1, Sq]
+        inv = inv + (band_masks[g] * inv_g if G > 1 else inv_g)
         lses.append(jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF))
-    out_ref[0, 0] = acc_total.astype(out_ref.dtype)
-    # lse lanes: head g's TQ values at [g*TQ, (g+1)*TQ)
-    lse_ref[...] = jnp.concatenate(lses, axis=0).reshape(1, 1, 1, 1, -1)
+    out_ref[0, 0] = (acc * inv).astype(out_ref.dtype)  # [GD, Sq] transposed
+    # lse rows: head g at sublane g
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=0)      # [G, Sq]
 
 
 def degroup_pool(data: jax.Array, G: int):
@@ -464,8 +483,13 @@ def batched_paged_attention(
     vpb = 8 // bits
     P = Pp * vpb
     sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
-    TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
-    if TQ is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0:
+    # largest q tile whose persistent VMEM (q 2B + transposed acc 4B +
+    # out 4B per element) fits; beyond TQ the grid tiles Sq, re-walking the
+    # page list once per 4096 queries (vs once per 256 before round 4)
+    TQ = next((t for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+               if Sq % t == 0 and t * GD * 10 <= 6 * 1024 * 1024), None)
+    QC = min(TQ or 0, 2048) or None
+    if (QC is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0):
         if G > 1:  # ungroup for the XLA fallback
             k_data, v_data = degroup_pool(k_data, G), degroup_pool(v_data, G)
             k_scale = degroup_sidecar(k_scale, G)
@@ -488,7 +512,7 @@ def batched_paged_attention(
     vz3 = v_zp.reshape(n_slots, HG, G, P)
 
     kernel = functools.partial(_batched_kernel, bits=bits, D=D, P=P,
-                               sm_scale=sm, G=G)
+                               sm_scale=sm, G=G, QC=QC)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, HG, Sq // TQ),
@@ -503,12 +527,11 @@ def batched_paged_attention(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TQ, GD), lambda b, h, i, *_: (b, h, i, 0),
+            # TRANSPOSED output [GD, TQ]: XLA transposes outside (fuses
+            # with the consumer) — cheaper than an in-kernel relayout
+            pl.BlockSpec((1, 1, GD, TQ), lambda b, h, i, *_: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
-            # unit axis before the lanes keeps the (8, 128)-tiling rule
-            # satisfied when Sq/TQ > 1 (see the single-sequence kernel)
-            pl.BlockSpec((1, 1, 1, 1, G * TQ),
-                         lambda b, h, i, *_: (b, h, i, 0, 0),
+            pl.BlockSpec((1, 1, G, TQ), lambda b, h, i, *_: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -518,27 +541,25 @@ def batched_paged_attention(
             pltpu.VMEM((2, Pp, GD), jnp.uint8),
             pltpu.VMEM((2, G, P), jnp.float32),
             pltpu.VMEM((2, G, P), jnp.float32),
+            pltpu.VMEM((GD, TQ), jnp.float32),    # transposed accumulator
+            pltpu.VMEM((2 * G, TQ), jnp.float32),  # m/l online-softmax stats
             pltpu.SemaphoreType.DMA((2, 6)),
         ],
     )
-    out, lse = pl.pallas_call(
+    out_t, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, HG, Sq, GD), jnp.float32),
-                   jax.ShapeDtypeStruct((B, HG, Sq // TQ, 1, G * TQ),
-                                        jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((B, HG, GD, Sq), jnp.float32),
+                   jax.ShapeDtypeStruct((B, HG, G, Sq), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(page_tables.astype(jnp.int32), page_tokens.astype(jnp.int32),
       n_pages.astype(jnp.int32), qk.astype(jnp.bfloat16),
       k_data, ks3, kz3, v_data, vs3, vz3)
-    if G > 1:  # ungroup: [B, H/G, Sq, G*D] -> [B, H, Sq, D]
-        out = (out.reshape(B, HG, Sq, G, D).transpose(0, 1, 3, 2, 4)
-               .reshape(B, H, Sq, D))
-        lse = (lse.reshape(B, HG, Sq // TQ, G, TQ).transpose(0, 1, 3, 2, 4)
-               .reshape(B, H, Sq))
-    else:
-        lse = lse.reshape(B, H, Sq)
+    # [B, HG, GD, Sq] -> per-head [B, H, Sq, D]
+    out = (out_t.reshape(B, HG, G, D, Sq).transpose(0, 1, 2, 4, 3)
+           .reshape(B, H, Sq, D))
+    lse = lse.reshape(B, H, Sq)
     return (out, lse) if return_lse else out
 
 

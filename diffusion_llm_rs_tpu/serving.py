@@ -618,13 +618,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # and runs one dense attention — fastest at short S; "paged" streams
         # the packed page pools through the gather kernel — wins once the
         # fake-quant reconstruction's fp intermediates dominate HBM traffic.
-        # Measured crossover on v5e (benchmarks/bench_longseq.py,
-        # LONGSEQ_r03.json): dense wins to S=2048 (2.16 vs 2.45 ms), paged
-        # wins 2x at S=4096 (6.5 vs 12.7 ms) — "auto" switches at 3072.
+        # Measured crossover on v5e (benchmarks/bench_longseq.py): with the
+        # round-4 rebuilt kernel (one DMA+unpack per page) paged beats the
+        # fake-quant dense mode from S~1.5k (0.71 vs 1.19 ms at 2048,
+        # LONGSEQ_r04.json) — "auto" switches at 2048.
         if attend_mode not in ("auto", "dense", "paged"):
             raise ValueError(f"unknown attend_mode {attend_mode!r}")
         if attend_mode == "auto":
-            attend_mode = "paged" if seq_len >= 3072 else "dense"
+            attend_mode = "paged" if seq_len >= 2048 else "dense"
         self.attend_mode = attend_mode
         if seq_len % self.page_size:
             raise ValueError(f"seq_len {seq_len} not divisible by page_size "
