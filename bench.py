@@ -242,9 +242,19 @@ def main():
     # model FLOPs per generated token (linears + attention matmuls), for
     # the achieved-vs-peak MFU fields the driver trends (VERDICT r3 item 1)
     D, L = cfg.hidden_size, cfg.num_layers
-    flops_per_tok = (2 * 12 * D * D * L + 2 * D * D + 4 * SEQ * D * L) * STEPS
+    matmul_flops_tok = (2 * 12 * D * D * L + 2 * D * D) * STEPS
+    attn_flops_tok = 4 * SEQ * D * L * STEPS
+    flops_per_tok = matmul_flops_tok + attn_flops_tok
     mxu_bf16_peak = 189e12   # measured on this v5e (CLAUDE.md)
     mxu_int8_peak = 349e12
+    # mixed-rate roofline capture (VERDICT r4 weak #4): each op family rated
+    # at the peak of the MXU mode it actually runs — matmuls int8, attention
+    # int8 when the int8 attention path is on. mfu_int8 (everything at the
+    # int8 peak) is kept for trend continuity but understates the matmul
+    # path whenever attention runs a slower mode.
+    attn_peak = mxu_int8_peak if ACT_BITS == 8 else mxu_bf16_peak
+    ideal_s_per_tok = (matmul_flops_tok / mxu_int8_peak
+                       + attn_flops_tok / attn_peak)
     record = {
         "metric": f"int{BITS} "
                   f"{'int8-activation' if ACT_BITS == 8 else 'weight-only'} "
@@ -256,6 +266,7 @@ def main():
         "value_spread": round(int4_spread, 4),
         "mfu_bf16": round(bf16_tps * flops_per_tok / mxu_bf16_peak, 4),
         "mfu_int8": round(int4_tps * flops_per_tok / mxu_int8_peak, 4),
+        "mfu_int8_mixed_roofline": round(int4_tps * ideal_s_per_tok, 4),
     }
 
     if os.environ.get("BENCH_EXTRA", "1") == "1":
@@ -282,6 +293,62 @@ def main():
         record["decode_b1_tokens_per_sec"] = round(b1_med, 2)
         record["decode_b1_vs_bf16"] = round(b1_med / b1_bf16_med, 4)
         record["decode_b1_spread"] = round(b1_spread, 4)
+        # B=1 device work (~16 ms) sits under one tunnel sync's tail
+        # (~23 ms, heavy-tailed): this ratio is parity-within-noise, not a
+        # trendable win/loss signal (VERDICT r4 weak #3; DESIGN.md r4).
+        # The low-variance packed-vs-decoded measurement is
+        # `b1_packed_vs_decoded` below (big-model chain).
+        record["decode_b1_noise_bound"] = True
+
+        if os.environ.get("BENCH_B1BIG", "1") == "1":
+            # Settle the packed-kernel question outside tunnel noise
+            # (VERDICT r4 task 3): a 24L/1536d throwaway model whose
+            # weight reads dominate (340 MB int4-packed vs 680 MB
+            # decoded-int8 per denoise step at B=1), 64-step calls chained
+            # 2-vs-10 so the slope numerator (~8 x 25-55 ms device work)
+            # dwarfs the ~15 ms sync jitter. >1 = the packed in-kernel-
+            # unpack kernel beats decoded-int8 in the memory-bound regime.
+            big = DiffusionConfig(
+                num_timesteps=1000, hidden_size=1536, num_layers=24,
+                num_attention_heads=12, vocab_size=512,
+                max_sequence_length=256, dtype="bfloat16")
+            big_params = dn.init_denoiser_params(jax.random.PRNGKey(7), big)
+            bigq = quantize_tree(big_params, BITS, symmetric=True,
+                                 granularity="group", group_size=128, axis=0)
+
+            def _prep_variant(decoded):
+                def f(l):
+                    if isinstance(l, QuantizedTensor) and l.ndim == 2:
+                        try:
+                            if decoded:
+                                return decode_to_int8(
+                                    pallas_matmul.prepare(l, act_bits=8))
+                            return pallas_matmul.prepare(l)
+                        except ValueError:
+                            return l
+                    return l
+                tree = jax.tree_util.tree_map(
+                    f, bigq, is_leaf=lambda l: isinstance(l, QuantizedTensor))
+                return jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if hasattr(p, "astype") and hasattr(p, "dtype") and
+                    p.dtype == jnp.float32 else p, tree,
+                    is_leaf=lambda l: isinstance(
+                        l, (pallas_matmul.MatmulWeight, QuantizedTensor)))
+
+            bb = dict(batch=1, seq=128, steps=64)
+            _, pk_med, pk_spread = time_run(
+                build(big, _prep_variant(False), **bb), "b1big int4 packed",
+                repeats=5, chains=(2, 10), **bb)
+            _, dc_med, dc_spread = time_run(
+                build(big, _prep_variant(True), **bb), "b1big int4 decoded",
+                repeats=5, chains=(2, 10), **bb)
+            record["b1_packed_tokens_per_sec"] = round(pk_med, 2)
+            record["b1_decoded_tokens_per_sec"] = round(dc_med, 2)
+            record["b1_packed_vs_decoded"] = round(pk_med / dc_med, 4)
+            record["b1_packed_spread"] = round(pk_spread, 4)
+            record["b1_decoded_spread"] = round(dc_spread, 4)
+            del big_params, bigq
         # quantized-KV continuous-batching serving throughput vs the fused
         # one-shot sampler at the IDENTICAL shape and step count — the
         # serving tax must stay small (VERDICT r2 item 1: >=0.5)

@@ -172,41 +172,46 @@ def run_row(S, bits_list=(4, 2)):
                "flash_bf16_ms": round(flash_ms, 3),
                "dense_fakequant_int4_ms": round(fq_ms, 3)}
 
-        # --- paged kernel at each bit width -----------------------------
+        # --- paged kernel at each bit width: act_bits=8 (the int8-MXU
+        # path, the serving default) and the exact bf16-dot variant ------
         for bits in bits_list:
             pool = make_pool(S, bits, key)
             kd, ks, kz, vd, vs, vz, pt, nt, npg = pool
 
-            @jax.jit
-            def paged_scan(q, kd, ks, kz, vd, vs, vz):
-                def body(c, _):
-                    o = batched_paged_attention(
-                        c, pt, nt, npg, kd, ks, kz, vd, vs, vz,
-                        bits=bits, head_group=G)
-                    return c + 0.001 * o.astype(c.dtype), None
-                out, _ = jax.lax.scan(body, q, None, length=n_rep)
-                return out
-            row[f"paged_int{bits}_ms"] = round(
-                timeit(paged_scan, kq, kd, ks, kz, vd, vs, vz,
-                       n_rep=n_rep), 3)
+            for ab, suffix in ((8, ""), (16, "_bf16acts")):
+                @jax.jit
+                def paged_scan(q, kd, ks, kz, vd, vs, vz, ab=ab):
+                    def body(c, _):
+                        o = batched_paged_attention(
+                            c, pt, nt, npg, kd, ks, kz, vd, vs, vz,
+                            bits=bits, head_group=G, act_bits=ab)
+                        return c + 0.001 * o.astype(c.dtype), None
+                    out, _ = jax.lax.scan(body, q, None, length=n_rep)
+                    return out
+                row[f"paged_int{bits}{suffix}_ms"] = round(
+                    timeit(paged_scan, kq, kd, ks, kz, vd, vs, vz,
+                           n_rep=n_rep), 3)
             packed = sum(int(a.size) * a.dtype.itemsize
                          for a in (kd, ks, kz, vd, vs, vz))
             row[f"kv_bytes_int{bits}"] = packed
 
         row["kv_bytes_bf16"] = 2 * B * S * H * Hd * 2
+        # paged_int4_ms is the SERVING-DEFAULT kernel config (int8-MXU
+        # activations since round 5); *_bf16acts_ms is the exact variant
         row["paged_int4_vs_dense_bf16"] = round(
             row["dense_bf16_ms"] / row["paged_int4_ms"], 3)
         # the honest headline: quantized paged kernel vs bf16 FLASH — any
         # flash kernel avoids the S^2 blowup, so this ratio isolates the
-        # KV-bandwidth win of the quantized pools
+        # KV-bandwidth + int8-MXU win of the quantized pools
         row["paged_int4_vs_flash_bf16"] = round(
             row["flash_bf16_ms"] / row["paged_int4_ms"], 3)
         row["paged_int4_vs_fakequant"] = round(
             row["dense_fakequant_int4_ms"] / row["paged_int4_ms"], 3)
         log(f"S={S}: dense bf16 {dense_ms:.3f} ms, flash bf16 "
             f"{flash_ms:.3f} ms, fake-quant int4 {fq_ms:.3f} ms, "
-            f"paged int4 {row['paged_int4_ms']:.3f} ms"
-            + (f", paged int2 {row['paged_int2_ms']:.3f} ms"
+            f"paged int4 a8 {row['paged_int4_ms']:.3f} ms, "
+            f"paged int4 bf16acts {row['paged_int4_bf16acts_ms']:.3f} ms"
+            + (f", paged int2 a8 {row['paged_int2_ms']:.3f} ms"
                if "paged_int2_ms" in row else ""))
         return row
 

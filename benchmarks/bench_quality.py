@@ -241,16 +241,36 @@ def main():
         return jax.tree_util.tree_map(
             prep, qp, is_leaf=lambda l: isinstance(l, QuantizedTensor))
 
+    _gptq_memo = {}
+
     def qg(bits, act_bits=16, group_size=128):
-        """GPTQ-quantized tree, calibrated on the training distribution."""
-        token_batches = [np.asarray(train_ids[i * 8:(i + 1) * 8])
-                         for i in range(4)]
-        gp = gptq_quantize_tree(
-            params, cfg, make_calib_batches(params, cfg, schedule,
-                                            token_batches,
-                                            jax.random.PRNGKey(11),
-                                            timesteps=(1,) + EVAL_T),
-            bits=bits, group_size=group_size, symmetric=True)
+        """GPTQ-quantized tree, calibrated on the training distribution.
+
+        The true-sequential recaptures are the expensive part of a quality
+        regen (~45 min eager, VERDICT r4 weak #6), so the RAW quantized tree
+        is checkpointed next to the anchor (`<anchor>.gptq<bits>.npz`) and
+        reused across runs; `prepare(act_bits=...)` reruns cheaply on load.
+        Delete the cache files (or QUALITY_RETRAIN=1) to recompute."""
+        cache = f"{ANCHOR}.gptq{bits}g{group_size}"
+        if (bits, group_size) in _gptq_memo:
+            gp = _gptq_memo[(bits, group_size)]
+        elif (os.path.exists(cache + ".npz")
+                and not os.environ.get("QUALITY_RETRAIN")):
+            gp = load_checkpoint(cache, like=params)
+            _gptq_memo[(bits, group_size)] = gp
+        else:
+            token_batches = [np.asarray(train_ids[i * 8:(i + 1) * 8])
+                             for i in range(4)]
+            gp = gptq_quantize_tree(
+                params, cfg, make_calib_batches(params, cfg, schedule,
+                                                token_batches,
+                                                jax.random.PRNGKey(11),
+                                                timesteps=(1,) + EVAL_T),
+                bits=bits, group_size=group_size, symmetric=True)
+            save_checkpoint(cache, gp, {"bits": bits,
+                                        "group_size": group_size,
+                                        "anchor": os.path.basename(ANCHOR)})
+            _gptq_memo[(bits, group_size)] = gp
 
         def prep(l):
             if isinstance(l, QuantizedTensor) and l.ndim == 2:
@@ -264,15 +284,48 @@ def main():
 
     # --- KV-cache bit sweep: the cached multi-step denoising loop ---------
 
-    def kv_ppl(kv_bits, seed, p=params):
+    def kv_ppl(kv_bits, seed, p=params, a8_attn=False):
         """Denoise eval sentences from t=KV_T0 with the KV cache quantized at
         `kv_bits` every step (0 = fp cache), then reconstruction ppl.
         Mirrors the sampler's cached step (attend over last step's quantized
-        K/V, re-quantize fresh K/V — `diffuse-llm-rs/src/lib.rs:907-918`)."""
+        K/V, re-quantize fresh K/V — `diffuse-llm-rs/src/lib.rs:907-918`).
+
+        `a8_attn` additionally applies the serving paged kernel's int8-MXU
+        activation error model (pallas_paged_attention act_bits=8): q
+        per-(token, head) symmetric int8, and P with the per-token V scale
+        folded in quantized per query column to int8 — the XLA twin of the
+        kernel math, so the attn_act_bits=8 default's ppl cost is measured,
+        not asserted."""
+        import math as _math
         k1, k2 = jax.random.split(jax.random.PRNGKey(200 + seed))
         x0 = dn.embed_tokens(p, eval_ids)
         t0v = jnp.full((eval_ids.shape[0],), KV_T0, jnp.int32)
         x_t, _ = add_noise(schedule, x0, t0v, key=k1)
+
+        def _i8(z, axis):
+            amax = jnp.max(jnp.abs(z), axis=axis, keepdims=True)
+            s = jnp.where(amax > 0, amax / 127.0, 1.0)
+            return jnp.round(z / s) * s
+
+        def _a8_attend_factory(qkv):
+            kd, vd = _dequantize_kv_pair(qkv)          # [L, B, S, H, Hd]
+            vs = qkv[1].scale.reshape(vd.shape[:4])     # [L, B, S, H]
+
+            def attend(li, q, k, v, mask):
+                del k, v, mask
+                kq, vq, vs_l = kd[li], vd[li], vs[li]
+                qh = _i8(q.astype(jnp.float32), axis=-1)   # per (tok, head)
+                sm = 1.0 / _math.sqrt(q.shape[-1])
+                logits = jnp.einsum("bshd,bthd->bhst", qh,
+                                    kq.astype(jnp.float32)) * sm
+                prob = jax.nn.softmax(logits, axis=-1)
+                w = prob * vs_l.transpose(0, 2, 1)[:, :, None, :]  # [B,H,s,t]
+                wh = _i8(w, axis=-1)                   # per query column
+                p_eff = wh / vs_l.transpose(0, 2, 1)[:, :, None, :]
+                out = jnp.einsum("bhst,bthd->bshd", p_eff,
+                                 vq.astype(jnp.float32))
+                return out
+            return attend
 
         @jax.jit
         def run(x):
@@ -284,9 +337,15 @@ def main():
                 x, qkv, key = carry
                 key, sub = jax.random.split(key)
                 t_vec = jnp.full((eval_ids.shape[0],), t_scalar, jnp.int32)
-                cached = _dequantize_kv_pair(qkv) if kv_bits else qkv
-                eps, kv = dn.denoiser_forward(p, cfg, x, t_vec,
-                                              cached_kv=cached, return_kv=True)
+                if a8_attn:
+                    eps, kv = dn.denoiser_forward(
+                        p, cfg, x, t_vec, attend_fn=_a8_attend_factory(qkv),
+                        return_kv=True)
+                else:
+                    cached = _dequantize_kv_pair(qkv) if kv_bits else qkv
+                    eps, kv = dn.denoiser_forward(p, cfg, x, t_vec,
+                                                  cached_kv=cached,
+                                                  return_kv=True)
                 nqkv = _quantize_kv_pair(kv, kv_bits) if kv_bits else kv
                 return (p_sample(schedule, x, t_vec, eps, sub), nqkv, key), None
 
@@ -299,8 +358,8 @@ def main():
             return jnp.exp(-jnp.sum(lp) / jnp.sum(mask))
         return float(run(x_t))
 
-    def kv_eval(kv_bits):
-        return [kv_ppl(kv_bits, s) for s in range(SEEDS)]
+    def kv_eval(kv_bits, a8_attn=False):
+        return [kv_ppl(kv_bits, s, a8_attn=a8_attn) for s in range(SEEDS)]
 
     results = {"bf16": eval_variant(params)}
     for bits in (8, 4, 2, 1):
@@ -312,9 +371,14 @@ def main():
         results[f"int{bits}/a8"] = eval_variant(q(bits, act_bits=8))
     results["gptq-int4/a8"] = eval_variant(qg(4, act_bits=8))
 
+    # kv-int1 included as evidence for the serving router's 2-bit floor
+    # (DESIGN.md deviation #13): the cliff is measured, not asserted.
+    # kv-int4+a8attn measures the serving default attn_act_bits=8 (int8-MXU
+    # attention) on top of the int4 KV cache.
     kv_results = {"kv-fp": kv_eval(0)}
-    for bits in (8, 4, 2):
+    for bits in (8, 4, 2, 1):
         kv_results[f"kv-int{bits}"] = kv_eval(bits)
+    kv_results["kv-int4+a8attn"] = kv_eval(4, a8_attn=True)
 
     # --- ordering checks on PAIRED deltas ---------------------------------
     t_hi = EVAL_T[-1]
@@ -353,6 +417,12 @@ def main():
         "kv int8 lossless": (
             lambda md: abs(md[0]) <= max(md[1], 1e-3))(
                 paired(kv_results["kv-fp"], kv_results["kv-int8"])),
+        # the serving default (int8-MXU attention over int4 KV) must cost
+        # strictly less ppl than dropping the KV itself to 2 bits — the
+        # cheapest alternative way to spend accuracy for speed
+        "kv int4+a8attn < kv-int2 (strict, paired)": (
+            lambda md: md[0] - md[1] > 0)(
+                paired(kv_results["kv-int4+a8attn"], kv_results["kv-int2"])),
     }
 
     title = ("# BENCH_QUALITY_REAL — distribution-shift column (real text)"

@@ -140,8 +140,10 @@ def attention(
         # unmasked long-S attention: Pallas flash kernel — the [S, Skv]
         # logits never touch HBM. At short S the fold/unfold transposes
         # cost more than the einsum path's materialization (measured:
-        # benchmarks/profile_step.py round 4), and the sampler hot loop
-        # uses `fused_qkv_attention` before ever reaching here.
+        # benchmarks/profile_step.py round 4), so the short-S hot path is
+        # the XLA einsum below (`fused_qkv_attention` lost the same
+        # measurement and is benchmark-only — see the note at the dispatch
+        # site further down).
         from diffusion_llm_rs_tpu.ops.matmul import use_pallas
         if use_pallas():
             from diffusion_llm_rs_tpu.ops.pallas_attention import (

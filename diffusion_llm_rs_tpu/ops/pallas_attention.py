@@ -254,6 +254,11 @@ def dense_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     TK = next((t for t in (512, 256, 128) if Skv % t == 0), None)
     if TQ is None or TK is None or D % 8 != 0 or k.shape != v.shape:
         return None
+    # whole K and V resident per grid cell: bound them (plus the q tile,
+    # output tile and f32 accumulator) to VMEM or Mosaic fails to compile
+    # instead of falling back (~Skv >= 16-32k at D=128 otherwise)
+    if 2 * Skv * D * 2 + TQ * (D * 8 + TK * 4) > 12 * 1024 * 1024:
+        return None
     kernel = functools.partial(_dense_kernel, TK=TK, sm_scale=sm_scale)
     kv_spec = pl.BlockSpec((1, Skv, D), lambda b, i: (b, 0, 0),
                            memory_space=pltpu.VMEM)

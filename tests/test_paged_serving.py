@@ -157,7 +157,7 @@ def test_paged_step_grouped_heads_matches_reference():
     params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
     b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=128,
                                page_size=128, seed=seed, max_chunk=1,
-                               attend_mode="paged")
+                               attend_mode="paged", attn_act_bits=16)
     assert b.head_group == 2
     bits = cfg.quant_config.decode_bits
     b.submit(Request("r", seq_len=128, num_steps=steps))
@@ -188,6 +188,29 @@ def test_paged_step_grouped_heads_matches_reference():
     x_ref = p_sample(b.schedule, x0, t, eps, noise=step_noise)
     np.testing.assert_allclose(x_paged, np.asarray(x_ref[0]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_paged_step_a8_close_to_exact():
+    """attn_act_bits=8 (int8-MXU QK^T/AV in the paged kernel) tracks the
+    exact-path trajectory within the kernel's ~2% attention error."""
+    cfg = DiffusionConfig.tiny(vocab_size=128, hidden_size=128,
+                               num_attention_heads=2,
+                               max_sequence_length=128)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+
+    def run(act_bits):
+        b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=128,
+                                   page_size=128, seed=11, max_chunk=1,
+                                   attend_mode="paged",
+                                   attn_act_bits=act_bits)
+        b.submit(Request("r", seq_len=128, num_steps=2))
+        b.step()
+        return np.asarray(b.x[0])
+
+    x8, x16 = run(8), run(16)
+    rel = float(np.linalg.norm(x8 - x16) / np.linalg.norm(x16))
+    assert rel < 5e-2, rel
+    assert rel > 0  # the int8 path genuinely ran (not the exact kernel)
 
 
 @pytest.mark.parametrize("mode", ["paged", "dense"])
