@@ -172,13 +172,14 @@ def run_row(S, bits_list=(4, 2)):
                "flash_bf16_ms": round(flash_ms, 3),
                "dense_fakequant_int4_ms": round(fq_ms, 3)}
 
-        # --- paged kernel at each bit width: act_bits=8 (the int8-MXU
-        # path, the serving default) and the exact bf16-dot variant ------
+        # --- paged kernel at each bit width: exact bf16 dots (the serving
+        # default — also the fastest on v5e, DESIGN.md r5) and the
+        # int8-MXU act_bits=8 variant ------------------------------------
         for bits in bits_list:
             pool = make_pool(S, bits, key)
             kd, ks, kz, vd, vs, vz, pt, nt, npg = pool
 
-            for ab, suffix in ((8, ""), (16, "_bf16acts")):
+            for ab, suffix in ((16, ""), (8, "_a8")):
                 @jax.jit
                 def paged_scan(q, kd, ks, kz, vd, vs, vz, ab=ab):
                     def body(c, _):
@@ -196,22 +197,23 @@ def run_row(S, bits_list=(4, 2)):
             row[f"kv_bytes_int{bits}"] = packed
 
         row["kv_bytes_bf16"] = 2 * B * S * H * Hd * 2
-        # paged_int4_ms is the SERVING-DEFAULT kernel config (int8-MXU
-        # activations since round 5); *_bf16acts_ms is the exact variant
+        # paged_int4_ms is the SERVING-DEFAULT kernel config (exact bf16
+        # dots); *_a8_ms is the int8-MXU variant (slower on v5e — the
+        # kernel is VPU-bound; DESIGN.md r5)
         row["paged_int4_vs_dense_bf16"] = round(
             row["dense_bf16_ms"] / row["paged_int4_ms"], 3)
         # the honest headline: quantized paged kernel vs bf16 FLASH — any
         # flash kernel avoids the S^2 blowup, so this ratio isolates the
-        # KV-bandwidth + int8-MXU win of the quantized pools
+        # KV-bandwidth win of the quantized pools
         row["paged_int4_vs_flash_bf16"] = round(
             row["flash_bf16_ms"] / row["paged_int4_ms"], 3)
         row["paged_int4_vs_fakequant"] = round(
             row["dense_fakequant_int4_ms"] / row["paged_int4_ms"], 3)
         log(f"S={S}: dense bf16 {dense_ms:.3f} ms, flash bf16 "
             f"{flash_ms:.3f} ms, fake-quant int4 {fq_ms:.3f} ms, "
-            f"paged int4 a8 {row['paged_int4_ms']:.3f} ms, "
-            f"paged int4 bf16acts {row['paged_int4_bf16acts_ms']:.3f} ms"
-            + (f", paged int2 a8 {row['paged_int2_ms']:.3f} ms"
+            f"paged int4 {row['paged_int4_ms']:.3f} ms, "
+            f"paged int4 a8 {row['paged_int4_a8_ms']:.3f} ms"
+            + (f", paged int2 {row['paged_int2_ms']:.3f} ms"
                if "paged_int2_ms" in row else ""))
         return row
 

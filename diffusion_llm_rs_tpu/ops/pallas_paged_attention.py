@@ -293,7 +293,8 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                     kbuf, vbuf, sbuf, acc_ref, ml_ref, qi_ref, qm_ref,
                     sems,
                     *, bits: int, D: int, P: int, sm_scale: float,
-                    G: int = 1, QC: int = 2048, act_bits: int = 16):
+                    G: int = 1, QC: int = 2048, act_bits: int = 16,
+                    NP: int = 1):
     """One (batch-slot, head-group) grid cell; the page LOOP BOUND is the
     slot's dynamic page count (scalar-prefetched), so inactive slots cost
     nothing and sequence lengths vary per slot without recompilation.
@@ -325,10 +326,18 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
       - AV folds the per-token V scale into P (as the bf16 path does), then
         quantizes the folded weights per QUERY column to int8 (w <= its
         column max by construction); the column scale factors back out.
+      - pages are processed in GROUPS of NP (a8 only): the int8 MXU rate on
+        v5e is gated by the CONTRACTION size (measured in-kernel: 119 T/s
+        at K=128, 262 T/s at K=512, vs bf16's flat ~97), and AV contracts
+        the page-token axis — grouping NP=4 pages turns the AV dot into a
+        K=512 int8 matmul. V levels are transposed once per group so both
+        dots run in standard MXU orientation (a transposed-LHS int8 dot
+        drops to bf16 speed).
     Accuracy (measured, tests/test_paged_attention.py): log-sum-exp within
-    4e-3 of the exact kernel and output relative error 1.6-2.2% across KV
-    widths — a third of the int4 KV step itself; end-to-end ppl cost
-    measured in BENCH_QUALITY.md's serving row.
+    4e-3 of the exact kernel and output relative error 1.6-2.9% across KV
+    widths (P's column scale spans the NP-page group) — a third of the
+    int4 KV step itself; end-to-end ppl cost measured in BENCH_QUALITY.md's
+    kv-int4+a8attn row.
     """
     vpb = 8 // bits
     mask = (1 << bits) - 1
@@ -367,13 +376,13 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
         slot = pt_ref[b, j]
         for i, (r, sc) in enumerate(zip(refs, bufs)):
             pltpu.make_async_copy(r.at[slot, h], sc.at[slot_buf],
-                                  sems.at[slot_buf, i]).start()
+                                  sems.at[slot_buf, i, 0]).start()
 
     def wait_dma(j, slot_buf):
         slot = pt_ref[b, j]
         for i, (r, sc) in enumerate(zip(refs, bufs)):
             pltpu.make_async_copy(r.at[slot, h], sc.at[slot_buf],
-                                  sems.at[slot_buf, i]).wait()
+                                  sems.at[slot_buf, i, 0]).wait()
 
     def unpack(buf_ref, slot_buf):
         t32 = buf_ref[slot_buf].astype(jnp.int32)      # [P/vpb, G*D]
@@ -386,21 +395,19 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                      for p in range(vpb)]
         return jnp.concatenate(parts, axis=0)          # [P, G*D] token order
 
-    @pl.when(count > 0)
-    def _():
-        start_dma(0, 0)
-
     acc_ref[...] = jnp.zeros((GD, Sq), jnp.float32)
     # per-head online-softmax stats in scratch (Mosaic has no
     # dynamic_update_slice on values): m_g at row g, l_g at row G+g
     ml_ref[0:G, :] = jnp.full((G, Sq), NEG_INF, jnp.float32)
     ml_ref[G:2 * G, :] = jnp.zeros((G, Sq), jnp.float32)
 
+    # q preparation runs ONCE per cell (both paths) — rounds <= 4 re-did
+    # the head mask + cast + channel sum for EVERY page (~0.3 ms of pure
+    # VPU work at S=4096); the page loop below only reads scratch.
     if a8:
-        # quantize q once per cell: head g's band-masked channels -> int8
-        # levels (qi scratch, kept transposed [GD, Sq]) + [1, Sq] rows of
-        # scale and quantized-q sum (qm scratch: row g = sq_g, row G+g =
-        # sum(q̂_g)). The bf16 path recomputed the mask + qsum every page.
+        # head g's band-masked channels -> int8 levels (qi scratch, kept
+        # transposed [GD, Sq]) + [1, Sq] rows of scale and quantized-q sum
+        # (qm scratch: row g = sq_g, row G+g = sum(q̂_g)).
         for g in range(G):
             for c in range(n_chunks):
                 q0 = c * QC
@@ -414,78 +421,214 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                 qm_ref[g:g + 1, q0:q0 + QC] = sq
                 qm_ref[G + g:G + g + 1, q0:q0 + QC] = jnp.sum(
                     qi.astype(jnp.float32), axis=0, keepdims=True) * sq
-
-    def body(j, carry):
-        slot_buf = j % 2
-
-        @pl.when(j + 1 < count)
-        def _():
-            start_dma(j + 1, (j + 1) % 2)
-
-        wait_dma(j, slot_buf)
-        k_lv = unpack(kbuf, slot_buf)                  # [P, G*D]
-        v_lv = unpack(vbuf, slot_buf)
-        # consolidated sidecars [4G, P] -> per-head [P, 1] columns
-        side = sbuf[slot_buf]
-        valid = nt_ref[b, j]
-        tokcol = jax.lax.broadcasted_iota(jnp.int32, (P, QC), 0)
-
+    else:
+        # bf16 path: masked q (G > 1 reuses the qi scratch at bf16) +
+        # per-query channel sums into qm rows
         for g in range(G):
-            ks = side[g:g + 1, :].reshape(P, 1)
-            kz = side[G + g:G + g + 1, :].reshape(P, 1) - off
-            vs = side[2 * G + g:2 * G + g + 1, :].reshape(P, 1)
-            vz = side[3 * G + g:3 * G + g + 1, :].reshape(P, 1) - off
             for c in range(n_chunks):
                 q0 = c * QC
-                m = ml_ref[g:g + 1, q0:q0 + QC]        # [1, QC]
-                l = ml_ref[G + g:G + g + 1, q0:q0 + QC]
-                if a8:
+                qc = q[:, q0:q0 + QC].astype(jnp.float32)   # [GD, QC]
+                if G > 1:
+                    qc = qc * band_masks[g]
+                    qi_ref[g, :, q0:q0 + QC] = qc.astype(jnp.bfloat16)
+                qm_ref[g:g + 1, q0:q0 + QC] = jnp.sum(
+                    qc, axis=0, keepdims=True)
+
+    if not a8:
+        @pl.when(count > 0)
+        def _():
+            start_dma(0, 0)
+
+        def body(j, carry):
+            slot_buf = j % 2
+
+            @pl.when(j + 1 < count)
+            def _():
+                start_dma(j + 1, (j + 1) % 2)
+
+            wait_dma(j, slot_buf)
+            k_lv = unpack(kbuf, slot_buf)              # [P, G*D]
+            v_lv = unpack(vbuf, slot_buf)
+            # consolidated sidecars [4G, P] -> per-head [P, 1] columns
+            side = sbuf[slot_buf]
+            valid = nt_ref[b, j]
+            tokcol = jax.lax.broadcasted_iota(jnp.int32, (P, QC), 0)
+
+            for g in range(G):
+                # fold sm_scale into the per-token K scale: one [P, 1]
+                # multiply instead of a [P, QC] pass per chunk
+                ks = side[g:g + 1, :].reshape(P, 1) * sm_scale
+                kz = side[G + g:G + g + 1, :].reshape(P, 1)
+                vs = side[2 * G + g:2 * G + g + 1, :].reshape(P, 1)
+                vz = side[3 * G + g:3 * G + g + 1, :].reshape(P, 1)
+                for c in range(n_chunks):
+                    q0 = c * QC
+                    m = ml_ref[g:g + 1, q0:q0 + QC]    # [1, QC]
+                    l = ml_ref[G + g:G + g + 1, q0:q0 + QC]
+                    qg = (qi_ref[g, :, q0:q0 + QC] if G > 1
+                          else q[:, q0:q0 + QC])       # [GD, QC] bf16
+                    qsum = qm_ref[g:g + 1, q0:q0 + QC]  # [1, QC]
+                    raw = jax.lax.dot_general(
+                        k_lv, qg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [P, QC]
+                    logits = raw * ks - (ks * kz) * qsum
+                    logits = jnp.where(tokcol < valid, logits, NEG_INF)
+
+                    m_new = jnp.maximum(
+                        m, jnp.max(logits, axis=0, keepdims=True))
+                    p = jnp.exp(logits - m_new)            # [P, QC]
+                    alpha = jnp.exp(m - m_new)             # [1, QC]
+                    l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+                    w = p * vs                             # fold V scale in
+                    pv = jax.lax.dot_general(
+                        v_lv, w.astype(jnp.bfloat16),
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [GD, QC]
+                    corr = jnp.sum(w * vz, axis=0, keepdims=True)  # [1, QC]
+                    band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
+                    acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
+                        band * alpha + pv[g * D:(g + 1) * D, :] - corr)
+                    ml_ref[g:g + 1, q0:q0 + QC] = m_new
+                    ml_ref[G + g:G + g + 1, q0:q0 + QC] = l_new
+            return carry
+
+        jax.lax.fori_loop(0, count, body, 0)
+    else:
+        # --- int8-MXU path: pages in groups of NP -----------------------
+        Pp = P // vpb
+        NPP = NP * P
+        npmax = nt_ref.shape[1]
+        n_groups = (count + NP - 1) // NP
+
+        def start_group(j, slot_buf):
+            for i in range(NP):
+                jj = j * NP + i
+
+                @pl.when(jj < count)
+                def _():
+                    slot = pt_ref[b, jj]
+                    pltpu.make_async_copy(
+                        kd_ref.at[slot, h],
+                        kbuf.at[slot_buf, pl.ds(i * Pp, Pp)],
+                        sems.at[slot_buf, 0, i]).start()
+                    pltpu.make_async_copy(
+                        vd_ref.at[slot, h],
+                        vbuf.at[slot_buf, pl.ds(i * Pp, Pp)],
+                        sems.at[slot_buf, 1, i]).start()
+                    pltpu.make_async_copy(
+                        side_ref.at[slot, h],
+                        sbuf.at[slot_buf, pl.ds(i * 4 * G, 4 * G)],
+                        sems.at[slot_buf, 2, i]).start()
+
+        def wait_group(j, slot_buf):
+            for i in range(NP):
+                jj = j * NP + i
+
+                @pl.when(jj < count)
+                def _():
+                    slot = pt_ref[b, jj]
+                    pltpu.make_async_copy(
+                        kd_ref.at[slot, h],
+                        kbuf.at[slot_buf, pl.ds(i * Pp, Pp)],
+                        sems.at[slot_buf, 0, i]).wait()
+                    pltpu.make_async_copy(
+                        vd_ref.at[slot, h],
+                        vbuf.at[slot_buf, pl.ds(i * Pp, Pp)],
+                        sems.at[slot_buf, 1, i]).wait()
+                    pltpu.make_async_copy(
+                        side_ref.at[slot, h],
+                        sbuf.at[slot_buf, pl.ds(i * 4 * G, 4 * G)],
+                        sems.at[slot_buf, 2, i]).wait()
+
+        def unpack_group(buf_ref, slot_buf):
+            """[NP*Pp, GD] packed bytes -> [NP*P, GD] centered int8 levels
+            (token order within each page; pages stacked)."""
+            t32 = buf_ref[slot_buf].astype(jnp.int32)
+            pages = []
+            for i in range(NP):
+                sub = t32[i * Pp:(i + 1) * Pp]
+                parts = [(((sub >> (p * bits)) & mask) - off)
+                         .astype(jnp.int8) for p in range(vpb)]
+                pages.append(jnp.concatenate(parts, axis=0))   # [P, GD]
+            return jnp.concatenate(pages, axis=0)              # [NPP, GD]
+
+        rowtok = jax.lax.broadcasted_iota(jnp.int32, (NPP, 1), 0) % P
+
+        @pl.when(count > 0)
+        def _():
+            start_group(0, 0)
+
+        def gbody(j, carry):
+            slot_buf = j % 2
+
+            @pl.when(j + 1 < n_groups)
+            def _():
+                start_group(j + 1, (j + 1) % 2)
+
+            wait_group(j, slot_buf)
+            k_lv = unpack_group(kbuf, slot_buf)        # [NPP, GD] int8
+            v_t = unpack_group(vbuf, slot_buf).T       # [GD, NPP] int8
+            side = sbuf[slot_buf]                      # [NP*4G, P]
+            # per-page valid token counts -> one [NPP, 1] row bound
+            vals = [jnp.where(
+                j * NP + i < count,
+                nt_ref[b, jnp.minimum(j * NP + i, npmax - 1)], 0)
+                for i in range(NP)]
+            valid_rows = jnp.concatenate(
+                [jnp.full((P, 1), v, jnp.int32) for v in vals], axis=0)
+            row_ok = rowtok < valid_rows               # [NPP, 1]
+
+            for g in range(G):
+                def col(base):
+                    return jnp.concatenate(
+                        [side[i * 4 * G + base:i * 4 * G + base + 1, :]
+                         .reshape(P, 1) for i in range(NP)], axis=0)
+                ks = col(g) * sm_scale                 # [NPP, 1] (sm folded)
+                kz = col(G + g) - off
+                vs = col(2 * G + g)
+                # invalid-page rows were never DMA'd: a non-finite garbage
+                # value times the (already-zeroed) w row is still NaN
+                vz = jnp.where(row_ok, col(3 * G + g) - off, 0.0)
+                for c in range(n_chunks):
+                    q0 = c * QC
+                    m = ml_ref[g:g + 1, q0:q0 + QC]    # [1, QC]
+                    l = ml_ref[G + g:G + g + 1, q0:q0 + QC]
                     qi = qi_ref[g, :, q0:q0 + QC]      # [GD, QC] int8
                     sq = qm_ref[g:g + 1, q0:q0 + QC]   # [1, QC]
                     qsum = qm_ref[G + g:G + g + 1, q0:q0 + QC]
                     raw_i = jax.lax.dot_general(
                         k_lv, qi, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)  # [P, QC]
+                        preferred_element_type=jnp.int32)  # [NPP, QC]
                     raw = raw_i.astype(jnp.float32) * sq
-                else:
-                    qc = q[:, q0:q0 + QC].astype(jnp.float32)  # [GD, QC]
-                    if G > 1:
-                        qc = qc * band_masks[g]
-                    qg = qc.astype(jnp.bfloat16)
-                    qsum = jnp.sum(qc, axis=0, keepdims=True)  # [1, QC]
-                    raw = jax.lax.dot_general(
-                        k_lv, qg, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [P, QC]
-                logits = (raw * ks - (ks * kz) * qsum) * sm_scale
-                logits = jnp.where(tokcol < valid, logits, NEG_INF)
+                    logits = raw * ks - (ks * kz) * qsum
+                    logits = jnp.where(row_ok, logits, NEG_INF)
 
-                m_new = jnp.maximum(m, jnp.max(logits, axis=0, keepdims=True))
-                p = jnp.exp(logits - m_new)                # [P, QC]
-                alpha = jnp.exp(m - m_new)                 # [1, QC]
-                l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+                    m_new = jnp.maximum(
+                        m, jnp.max(logits, axis=0, keepdims=True))
+                    p = jnp.exp(logits - m_new)            # [NPP, QC]
+                    alpha = jnp.exp(m - m_new)             # [1, QC]
+                    l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-                w = p * vs                                 # fold V scale in
-                if a8:
+                    # fold V scale in; invalid-page rows carry p=0 but an
+                    # UNWRITTEN sidecar buffer (0 * garbage = NaN) — mask
+                    w = jnp.where(row_ok, p * vs, 0.0)
                     wmax = jnp.max(w, axis=0, keepdims=True)   # [1, QC]
                     sw = jnp.where(wmax > 0, wmax / 127.0, 1.0)
                     wi = jnp.round(w / sw).astype(jnp.int8)
                     pv_i = jax.lax.dot_general(
-                        v_lv, wi, (((0,), (0,)), ((), ())),
+                        v_t, wi, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)  # [GD, QC]
                     pv = pv_i.astype(jnp.float32) * sw
-                else:
-                    pv = jax.lax.dot_general(
-                        v_lv, w.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)    # [GD, QC]
-                corr = jnp.sum(w * vz, axis=0, keepdims=True)   # [1, QC]
-                band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
-                acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
-                    band * alpha + pv[g * D:(g + 1) * D, :] - corr)
-                ml_ref[g:g + 1, q0:q0 + QC] = m_new
-                ml_ref[G + g:G + g + 1, q0:q0 + QC] = l_new
-        return carry
+                    corr = jnp.sum(w * vz, axis=0, keepdims=True)  # [1, QC]
+                    band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
+                    acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
+                        band * alpha + pv[g * D:(g + 1) * D, :] - corr)
+                    ml_ref[g:g + 1, q0:q0 + QC] = m_new
+                    ml_ref[G + g:G + g + 1, q0:q0 + QC] = l_new
+            return carry
 
-    jax.lax.fori_loop(0, count, body, 0)
+        jax.lax.fori_loop(0, n_groups, gbody, 0)
     acc = acc_ref[...]
     lses = []
     inv = jnp.zeros((GD, Sq), jnp.float32)
@@ -567,11 +710,24 @@ def batched_paged_attention(
     # out 4B per element, + G B/elem of int8-q scratch on the a8 path)
     # fits; beyond TQ the grid tiles Sq, re-walking the page list once per
     # 4096 queries (vs once per 256 before round 4)
-    per_elem = 10 + (G if act_bits == 8 else 0)
-    budget = (8 if act_bits == 8 else 6) * 1024 * 1024
+    # persistent bytes per (TQ x GD) element: q 2 + acc 4 + out 4, plus the
+    # prepared-q scratch (G int8 on a8; 2G bf16 on grouped-head bf16).
+    # When Sq > TQ (multi-tile grid) Mosaic double-buffers the q/out/lse
+    # blocks across cells — budget the extra 6 B/elem or Sq=8192 OOMs VMEM.
+    per_elem = 10 + (G if act_bits == 8 else 2 * G if G > 1 else 0)
+    budget = 8 * 1024 * 1024
     TQ = next((t for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if Sq % t == 0 and t * GD * per_elem <= budget), None)
-    QC = min(TQ or 0, 2048) or None
+               if Sq % t == 0 and
+               t * GD * (per_elem + (6 if Sq > t else 0)) <= budget), None)
+    # a8: pages per DMA/compute group — the AV dot's contraction is NP*P
+    # tokens, and the v5e int8 MXU rate is contraction-gated (measured
+    # in-kernel 119 T/s at K=128 vs 262 at K=512). MEASURED OUTCOME
+    # (LONGSEQ r5, DESIGN.md): NP=4 is SLOWER end-to-end — the kernel is
+    # VPU-bound, so faster dots buy nothing while the group's sidecar
+    # assembly adds VPU work. NP=1 is the best a8 config and is kept; the
+    # grouping machinery stays for chips where the MXU is the bound.
+    NP = 1
+    QC = min(TQ or 0, 2048 if NP == 1 else 1024) or None
     if (QC is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0):
         if G > 1:  # ungroup for the XLA fallback
             k_data, v_data = degroup_pool(k_data, G), degroup_pool(v_data, G)
@@ -600,7 +756,8 @@ def batched_paged_attention(
     ], axis=2)                                   # [n_slots, HG, 4G, P]
 
     kernel = functools.partial(_batched_kernel, bits=bits, D=D, P=P,
-                               sm_scale=sm, G=G, QC=QC, act_bits=act_bits)
+                               sm_scale=sm, G=G, QC=QC, act_bits=act_bits,
+                               NP=NP)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, HG, Sq // TQ),
@@ -620,19 +777,19 @@ def batched_paged_attention(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, Pp, GD), jnp.uint8),    # k pages
-            pltpu.VMEM((2, Pp, GD), jnp.uint8),    # v pages
-            pltpu.VMEM((2, 4 * G, P), jnp.float32),  # sidecar block
+            pltpu.VMEM((2, NP * Pp, GD), jnp.uint8),    # k page group
+            pltpu.VMEM((2, NP * Pp, GD), jnp.uint8),    # v page group
+            pltpu.VMEM((2, NP * 4 * G, P), jnp.float32),  # sidecar blocks
             pltpu.VMEM((GD, TQ), jnp.float32),    # transposed accumulator
             pltpu.VMEM((2 * G, TQ), jnp.float32),  # m/l online-softmax stats
-            # int8 q levels (transposed, like q) + scale/qsum rows (a8
-            # path; tile-sized dummies when the bf16 path never touches
-            # them)
-            pltpu.VMEM((G, GD, TQ) if act_bits == 8 else (1, 32, 128),
-                       jnp.int8),
-            pltpu.VMEM((2 * G, TQ) if act_bits == 8 else (1, 128),
-                       jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            # prepared-q scratch (transposed, like q): int8 levels on the
+            # a8 path, masked bf16 on the grouped-head bf16 path (tile-
+            # sized dummy when G == 1 reads q directly); + scale/qsum rows
+            (pltpu.VMEM((G, GD, TQ), jnp.int8) if act_bits == 8 else
+             pltpu.VMEM((G, GD, TQ), jnp.bfloat16) if G > 1 else
+             pltpu.VMEM((1, 16, 128), jnp.bfloat16)),
+            pltpu.VMEM((2 * G, TQ), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3, NP)),
         ],
     )
     out_t, lse = pl.pallas_call(

@@ -611,16 +611,17 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  salience_ema: float = 0.8,
                  max_chunk: int = 32,
                  attend_mode: str = "auto",
-                 attn_act_bits: int = 8,
+                 attn_act_bits: int = 16,
                  keep_embeddings: bool = True,
                  hbm_budget_bytes: Optional[int] = None,
                  memory_manager=None,
                  sanitize: Optional[bool] = None):
-        # attn_act_bits=8 (default) runs the paged kernel's QK^T/AV on the
-        # int8 MXU (1.85x bf16 on v5e): ~2% attention-output error vs the
-        # exact kernel (pallas_paged_attention._batched_kernel docstring),
-        # a third of the int4 KV step's own error; ppl cost measured in
-        # BENCH_QUALITY.md's kv-int4+a8attn row. 16 = exact bf16 dots.
+        # attn_act_bits=16 (default): exact bf16 MXU dots in the paged
+        # kernel — on v5e this is also the FASTER config (the kernel is
+        # VPU-bound and int8 MXU rates are contraction-gated; DESIGN.md r5
+        # "int8 attention investigation"). 8 = int8-MXU QK^T/AV (~2%
+        # attention error, +0.001 ppl on the quality bench's
+        # kv-int4+a8attn row) — kept for chips where the MXU is the bound.
         # Dense mode ignores it (the fake-quant reconstruction is exact).
         if attn_act_bits not in (8, 16):
             raise ValueError(f"attn_act_bits must be 8 or 16, "

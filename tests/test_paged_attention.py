@@ -358,7 +358,7 @@ def test_batched_a8_close_to_exact(bits):
     out16, lse16 = ppa.batched_paged_attention(
         *args, bits=bits, return_lse=True, head_group=G, act_bits=16)
     rel = float(jnp.linalg.norm(out8 - out16) / jnp.linalg.norm(out16))
-    assert rel < 2.5e-2, rel
+    assert rel < 3.5e-2, rel
     np.testing.assert_allclose(np.asarray(lse8), np.asarray(lse16),
                                rtol=2e-2, atol=2e-2)
 
