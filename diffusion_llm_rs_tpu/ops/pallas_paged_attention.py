@@ -454,6 +454,20 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
             valid = nt_ref[b, j]
             tokcol = jax.lax.broadcasted_iota(jnp.int32, (P, QC), 0)
 
+            # fold the per-token V scale into the PAGE ([P, GD], one pass
+            # per page, lane-selected per head) instead of into P ([P, QC]
+            # per chunk per head — 16x the elements at QC=2048): band g of
+            # the AV dot then reads v[t,d]*vs_g[t], exactly the fold the
+            # old w = p*vs did, and the zero-point correction keeps its
+            # own per-head column c_g = vs_g*vz_g
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, GD), 1)
+            vs_full = jnp.zeros((P, GD), jnp.float32)
+            for g in range(G):
+                vs_g = side[2 * G + g:2 * G + g + 1, :].reshape(P, 1)
+                vs_full = vs_full + jnp.where(
+                    lane // D == g, vs_g, 0.0) if G > 1 else vs_g
+            v_sc = (v_lv.astype(jnp.float32) * vs_full).astype(jnp.bfloat16)
+
             for g in range(G):
                 # fold sm_scale into the per-token K scale: one [P, 1]
                 # multiply instead of a [P, QC] pass per chunk
@@ -461,6 +475,7 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                 kz = side[G + g:G + g + 1, :].reshape(P, 1)
                 vs = side[2 * G + g:2 * G + g + 1, :].reshape(P, 1)
                 vz = side[3 * G + g:3 * G + g + 1, :].reshape(P, 1)
+                cg = vs * vz                           # [P, 1]
                 for c in range(n_chunks):
                     q0 = c * QC
                     m = ml_ref[g:g + 1, q0:q0 + QC]    # [1, QC]
@@ -472,6 +487,10 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                         k_lv, qg, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)    # [P, QC]
                     logits = raw * ks - (ks * kz) * qsum
+                    # NOTE: branch-skipping this mask for full pages via
+                    # lax.cond was measured SLOWER (+0.25 ms at S=4096) —
+                    # the branch splits Mosaic's fused elementwise chain
+                    # and the logits round-trip VMEM around it
                     logits = jnp.where(tokcol < valid, logits, NEG_INF)
 
                     m_new = jnp.maximum(
@@ -480,12 +499,11 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
                     alpha = jnp.exp(m - m_new)             # [1, QC]
                     l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-                    w = p * vs                             # fold V scale in
                     pv = jax.lax.dot_general(
-                        v_lv, w.astype(jnp.bfloat16),
+                        v_sc, p.astype(jnp.bfloat16),
                         (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)    # [GD, QC]
-                    corr = jnp.sum(w * vz, axis=0, keepdims=True)  # [1, QC]
+                    corr = jnp.sum(p * cg, axis=0, keepdims=True)  # [1, QC]
                     band = acc_ref[g * D:(g + 1) * D, q0:q0 + QC]
                     acc_ref[g * D:(g + 1) * D, q0:q0 + QC] = (
                         band * alpha + pv[g * D:(g + 1) * D, :] - corr)

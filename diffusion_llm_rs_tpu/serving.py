@@ -636,10 +636,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # and runs one dense attention — fastest at short S; "paged" streams
         # the packed page pools through the gather kernel — wins once the
         # fake-quant reconstruction's fp intermediates dominate HBM traffic.
-        # Measured crossover on v5e (benchmarks/bench_longseq.py): with the
-        # round-4 rebuilt kernel (one DMA+unpack per page) paged beats the
-        # fake-quant dense mode from S~1.5k (0.71 vs 1.19 ms at 2048,
-        # LONGSEQ_r04.json) — "auto" switches at 2048.
+        # Measured crossover on v5e (benchmarks/bench_longseq.py,
+        # LONGSEQ_r05.json): the round-5 kernel (q-prep hoisted, 3 DMAs
+        # per page, sm-fold) beats the fake-quant dense mode 2.7x at
+        # S=2048 (0.44 vs 1.18 ms) and runs at bf16-FLASH parity from
+        # S>=2048, while dense still wins at S=1024 (0.10 vs 0.13 ms) —
+        # "auto" switches at 2048.
         if attend_mode not in ("auto", "dense", "paged"):
             raise ValueError(f"unknown attend_mode {attend_mode!r}")
         if attend_mode == "auto":
