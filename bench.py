@@ -54,18 +54,21 @@ def build(cfg, params, batch=None, seq=None, steps=None):
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
     batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
 
-    def model_fn(x, t):
-        # bf16 activations through the denoiser (MXU path); the p_sample
-        # posterior math stays f32
-        eps = dn.denoiser_forward(params, cfg, x.astype(jnp.bfloat16), t)
-        return eps.astype(jnp.float32)
-
+    # params ride as jit ARGUMENTS, not closure constants: closed-over
+    # arrays are embedded into the compile payload, and big-model variants
+    # (b1_packed_vs_decoded's 604M params) overflow the remote-compile
+    # helper's request limit (HTTP 413)
     @jax.jit
-    def run(key):
+    def run(params, key):
+        def model_fn(x, t):
+            # bf16 activations through the denoiser (MXU path); the
+            # p_sample posterior math stays f32
+            eps = dn.denoiser_forward(params, cfg, x.astype(jnp.bfloat16), t)
+            return eps.astype(jnp.float32)
         return sample(model_fn, schedule, (batch, seq, cfg.hidden_size), key,
                       num_steps=steps)
 
-    return run
+    return lambda key, _p=params: run(_p, key)
 
 
 def _chain_time(run, n, seed0):
@@ -302,15 +305,21 @@ def main():
 
         if os.environ.get("BENCH_B1BIG", "1") == "1":
             # Settle the packed-kernel question outside tunnel noise
-            # (VERDICT r4 task 3): a 24L/1536d throwaway model whose
-            # weight reads dominate (340 MB int4-packed vs 680 MB
-            # decoded-int8 per denoise step at B=1), 64-step calls chained
-            # 2-vs-10 so the slope numerator (~8 x 25-55 ms device work)
-            # dwarfs the ~15 ms sync jitter. >1 = the packed in-kernel-
-            # unpack kernel beats decoded-int8 in the memory-bound regime.
+            # (VERDICT r4 task 3): a 12L/2048d throwaway model (604M
+            # params — 12 blocks keeps the HLO flagship-sized; a 24-block
+            # variant broke the remote-compile helper) whose weight reads
+            # dominate (302 MB int4-packed vs 604 MB decoded-int8 per
+            # denoise step at B=1), 64-step calls chained 2-vs-10 so the
+            # slope numerator (~8 x 25-50 ms device work) dwarfs the
+            # ~15 ms sync jitter. >1 = the packed in-kernel-unpack kernel
+            # beats decoded-int8 in the memory-bound regime. MEASURED
+            # (r5): 0.44 at 1.2-1.4% spread — decoded-int8 runs at the
+            # HBM bandwidth roofline while the packed kernel's VPU unpack
+            # costs ~3x the bytes it saves; packed = storage format, not
+            # a decode-speed lever on this chip (DESIGN.md r5).
             big = DiffusionConfig(
-                num_timesteps=1000, hidden_size=1536, num_layers=24,
-                num_attention_heads=12, vocab_size=512,
+                num_timesteps=1000, hidden_size=2048, num_layers=12,
+                num_attention_heads=16, vocab_size=512,
                 max_sequence_length=256, dtype="bfloat16")
             big_params = dn.init_denoiser_params(jax.random.PRNGKey(7), big)
             bigq = quantize_tree(big_params, BITS, symmetric=True,

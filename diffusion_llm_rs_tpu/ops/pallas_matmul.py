@@ -514,7 +514,7 @@ def _matmul_a8(x2: jax.Array, w: MatmulWeight, lead, out_dtype,
     vpb = 8 // w.bits
     Kp = K // vpb
     seg = math.gcd(w.group_size, Kp)
-    tiles = _pick_tile(M, w.N)
+    tiles = _pick_tile(M, w.N, K=K, scratch_itemsize=1)
     if tiles is None or seg % 8 != 0:
         return a8_matmul_reference(x2, w, bias, activation,
                                    out_dtype).reshape(*lead, w.N)
@@ -576,9 +576,14 @@ def _matmul_a8(x2: jax.Array, w: MatmulWeight, lead, out_dtype,
     return out.reshape(*lead, w.N)
 
 
-def _pick_tile(M: int, N: int) -> Optional[Tuple[int, int]]:
+def _pick_tile(M: int, N: int, K: Optional[int] = None,
+               scratch_itemsize: int = 2) -> Optional[Tuple[int, int]]:
+    """Output tile for the matmul kernels. With K given, the N tile is also
+    bounded so the column path's (K, TN) dequant scratch fits VMEM —
+    K=8192-wide MLPs (12L/2048d) overflowed the 16 MiB budget at TN=512."""
     tm = next((t for t in (256, 128, 64, 32, 16, 8) if M % t == 0), None)
-    tn = next((t for t in (512, 384, 256, 128) if N % t == 0), None)
+    tn = next((t for t in (512, 384, 256, 128) if N % t == 0 and
+               (K is None or K * t * scratch_itemsize <= 4_500_000)), None)
     if tm is None or tn is None:
         return None
     return tm, tn
@@ -604,7 +609,7 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
     vpb = 8 // w.bits
     Kp = K // vpb
     seg = math.gcd(w.group_size, Kp)
-    tiles = _pick_tile(M, w.N)
+    tiles = _pick_tile(M, w.N, K=K)
     if tiles is None or seg % 8 != 0:
         # shape not kernel-friendly: fused XLA fallback
         out = jnp.dot(x2.astype(jnp.bfloat16), w.dequantize(jnp.bfloat16),
