@@ -252,12 +252,12 @@ def main():
     mxu_int8_peak = 349e12
     # mixed-rate roofline capture (VERDICT r4 weak #4): each op family rated
     # at the peak of the MXU mode it actually runs — matmuls int8, attention
-    # int8 when the int8 attention path is on. mfu_int8 (everything at the
-    # int8 peak) is kept for trend continuity but understates the matmul
-    # path whenever attention runs a slower mode.
-    attn_peak = mxu_int8_peak if ACT_BITS == 8 else mxu_bf16_peak
+    # bf16 (the sampler's einsum attention is bf16 regardless of ACT_BITS;
+    # DESIGN.md r5's ledger shows the Hd=64 contraction caps int8 gains
+    # there anyway). mfu_int8 (everything at the int8 peak) is kept for
+    # trend continuity but understates the matmul path.
     ideal_s_per_tok = (matmul_flops_tok / mxu_int8_peak
-                       + attn_flops_tok / attn_peak)
+                       + attn_flops_tok / mxu_bf16_peak)
     record = {
         "metric": f"int{BITS} "
                   f"{'int8-activation' if ACT_BITS == 8 else 'weight-only'} "

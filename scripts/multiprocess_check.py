@@ -234,7 +234,16 @@ def parent() -> int:
                          "single-process PagedContinuousBatcher",
                          "per-wave host-scheduler cost measured (warm)"],
               "serving": ok,
-              "host_scheduler_per_wave": timing}
+              "host_scheduler_per_wave": timing,
+              "host_scheduler_note": (
+                  "a wave = one fused multi-step chunk (up to max_chunk "
+                  "denoise steps). admit+retire are the true host-side "
+                  "scheduler cost and are per-HOST (constant in DP "
+                  "width); flush is dominated by the tokens "
+                  "process_allgather, which on this CPU emulation rides "
+                  "Gloo over localhost and on a TPU pod rides ICI. Both "
+                  "child processes share 2 CPU cores here, so these are "
+                  "upper bounds.")}
     print(json.dumps(record), flush=True)
     return 0 if ok else 1
 
