@@ -357,6 +357,32 @@ def main():
             record["b1_packed_vs_decoded"] = round(pk_med / dc_med, 4)
             record["b1_packed_spread"] = round(pk_spread, 4)
             record["b1_decoded_spread"] = round(dc_spread, 4)
+
+            if os.environ.get("BENCH_WIDE", "1") == "1":
+                # The headline vs_baseline is CONTRACTION-gated, not
+                # framework-gated (DESIGN.md r5 ledger: the flagship's
+                # 768-wide linears reach only part of the int8 MXU rate,
+                # which needs K >= ~1-2k). Demonstrate the target at a
+                # shape that reaches it: the same 12L/2048d model at the
+                # flagship batch regime (B=8, S=256 -> K=2048/8192
+                # contractions, attention ~2% of FLOPs). W4A8 decoded-int8
+                # vs bf16, slope-timed.
+                bw = dict(batch=8, seq=256, steps=16)
+                big_bf16 = jax.tree_util.tree_map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if hasattr(p, "astype") else p, big_params)
+                _, wbf_med, _ = time_run(
+                    build(big, big_bf16, **bw), "wide d2048 bf16",
+                    repeats=3, chains=(1, 4), **bw)
+                _, wi8_med, wi8_spread = time_run(
+                    build(big, _prep_variant(True), **bw),
+                    "wide d2048 int4/a8/decoded",
+                    repeats=3, chains=(1, 4), **bw)
+                record["wide_d2048_tokens_per_sec"] = round(wi8_med, 2)
+                record["vs_baseline_wide_d2048"] = \
+                    round(wi8_med / wbf_med, 4)
+                record["wide_d2048_spread"] = round(wi8_spread, 4)
+                del big_bf16
             del big_params, bigq
         # quantized-KV continuous-batching serving throughput vs the fused
         # one-shot sampler at the IDENTICAL shape and step count — the

@@ -239,6 +239,30 @@ def test_fused_chunk_matches_per_step_exactly(mode):
         np.testing.assert_array_equal(per_step[rid], chunked[rid])
 
 
+def test_chunked_step_flushes_retires_per_chunk():
+    """Driving step() directly on the chunked (max_chunk>1) path surfaces
+    completions as requests finish, without waiting for a drain: each chunk
+    dispatch flushes the previous wave's deferred retires, so
+    `_pending_retires` never accumulates (ADVICE r4 medium — otherwise a
+    long-running server pins every wave's decode buffers until drain)."""
+    cfg = DiffusionConfig.tiny(vocab_size=128)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    b = PagedContinuousBatcher(params, cfg, num_slots=2, seq_len=8,
+                               page_size=4, seed=3, max_chunk=4)
+    for i in range(6):
+        b.submit(Request(f"r{i}", seq_len=8, num_steps=3))
+    for _ in range(40):
+        b.step()
+        # the fix: at most the wave just retired is ever pending
+        assert len(b._pending_retires) <= 1
+        if not b.queue and not b.active_slots() and not b._pending_retires:
+            break
+    # completions materialized during stepping — no run_until_drained call
+    assert len(b.completions) == 6
+    assert sorted(c.request_id for c in b.completions) == \
+        [f"r{i}" for i in range(6)]
+
+
 def test_dense_mode_matches_paged_mode():
     """attend_mode="dense" (fake-quant reconstruction + one dense attention)
     computes the SAME attention as attend_mode="paged" (pools + gather
