@@ -352,6 +352,20 @@ def main():
             _, dc_med, dc_spread = time_run(
                 build(big, _prep_variant(True), **bb), "b1big int4 decoded",
                 repeats=5, chains=(2, 10), **bb)
+            # the memory-bound QUANTIZATION win vs bf16 (not just packed vs
+            # decoded): bf16 reads 1208 MB of weights per B=1 denoise step
+            # where decoded-int8 reads 604 — at the HBM roofline the int8
+            # path should land ~1.5-2x. This is the B=1 counterpart of
+            # vs_baseline, measured outside tunnel noise on the big model.
+            big_bf16_b1 = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if hasattr(p, "astype") else p, big_params)
+            _, bw_med, _ = time_run(
+                build(big, big_bf16_b1, **bb), "b1big bf16",
+                repeats=5, chains=(2, 10), **bb)
+            record["b1_bf16_tokens_per_sec"] = round(bw_med, 2)
+            record["b1_decoded_vs_bf16"] = round(dc_med / bw_med, 4)
+            del big_bf16_b1
             record["b1_packed_tokens_per_sec"] = round(pk_med, 2)
             record["b1_decoded_tokens_per_sec"] = round(dc_med, 2)
             record["b1_packed_vs_decoded"] = round(pk_med / dc_med, 4)
