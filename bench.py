@@ -50,6 +50,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def cast_fp32_bf16(tree):
+    """Remaining f32 leaves (biases, layernorms, raw params) -> bf16.
+    Stops at quantized containers: Int8Weight is a pytree whose f32
+    [1, N] col_scale must NOT be downcast (review r5 — tree_map would
+    otherwise descend into it)."""
+    from diffusion_llm_rs_tpu.ops.matmul import Int8Weight
+
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if hasattr(p, "astype") and hasattr(p, "dtype") and
+        p.dtype == jnp.float32 else p, tree,
+        is_leaf=lambda l: isinstance(
+            l, (pallas_matmul.MatmulWeight, QuantizedTensor, Int8Weight)))
+
+
 def build(cfg, params, batch=None, seq=None, steps=None):
     schedule = DiffusionSchedule.create(cfg.num_timesteps)
     batch, seq, steps = batch or BATCH, seq or SEQ, steps or STEPS
@@ -209,8 +224,7 @@ def main():
                           max_sequence_length=max(SEQ, 256), dtype="bfloat16")
     key = jax.random.PRNGKey(0)
     params = dn.init_denoiser_params(key, cfg)
-    params_bf16 = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if hasattr(p, "astype") else p, params)
+    params_bf16 = cast_fp32_bf16(params)
 
     bf16_tps, _, _ = time_run(build(cfg, params_bf16), "bf16")
 
@@ -232,12 +246,7 @@ def main():
     qparams = jax.tree_util.tree_map(
         _prep, qparams, is_leaf=lambda l: isinstance(l, QuantizedTensor))
     # remaining fp leaves (biases, layernorms) -> bf16; packed weights intact
-    qparams = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16)
-        if hasattr(p, "astype") and hasattr(p, "dtype") and
-        p.dtype == jnp.float32 else p, qparams,
-        is_leaf=lambda l: isinstance(
-            l, (pallas_matmul.MatmulWeight, QuantizedTensor)))
+    qparams = cast_fp32_bf16(qparams)
     label = f"int{BITS}" + ("/a8" if ACT_BITS == 8 else "") + \
         ("/decoded" if DECODED else "")
     int4_tps, int4_med, int4_spread = time_run(build(cfg, qparams), label)
@@ -325,41 +334,47 @@ def main():
             bigq = quantize_tree(big_params, BITS, symmetric=True,
                                  granularity="group", group_size=128, axis=0)
 
-            def _prep_variant(decoded):
+            def _prep_variant(mode):
+                # "decoded": int4 -> int8 grid in HBM, plain XLA int8 dots
+                # "packed16": packed in HBM, in-kernel unpack to bf16 dots
+                #             (the weight-only kernel)
+                # "packed8":  packed in HBM, in-kernel unpack to int8 dots —
+                #             the CONTROLLED packed-vs-decoded comparator
+                #             (same int8 compute, only the weight residency
+                #             differs; review r5 — packed16 vs decoded also
+                #             changes the MXU mode)
                 def f(l):
                     if isinstance(l, QuantizedTensor) and l.ndim == 2:
                         try:
-                            if decoded:
+                            if mode == "decoded":
                                 return decode_to_int8(
                                     pallas_matmul.prepare(l, act_bits=8))
+                            if mode == "packed8":
+                                return pallas_matmul.prepare(l, act_bits=8)
                             return pallas_matmul.prepare(l)
                         except ValueError:
                             return l
                     return l
                 tree = jax.tree_util.tree_map(
                     f, bigq, is_leaf=lambda l: isinstance(l, QuantizedTensor))
-                return jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.bfloat16)
-                    if hasattr(p, "astype") and hasattr(p, "dtype") and
-                    p.dtype == jnp.float32 else p, tree,
-                    is_leaf=lambda l: isinstance(
-                        l, (pallas_matmul.MatmulWeight, QuantizedTensor)))
+                return cast_fp32_bf16(tree)
 
             bb = dict(batch=1, seq=128, steps=64)
             _, pk_med, pk_spread = time_run(
-                build(big, _prep_variant(False), **bb), "b1big int4 packed",
-                repeats=5, chains=(2, 10), **bb)
+                build(big, _prep_variant("packed16"), **bb),
+                "b1big int4 packed", repeats=5, chains=(2, 10), **bb)
+            _, pk8_med, pk8_spread = time_run(
+                build(big, _prep_variant("packed8"), **bb),
+                "b1big int4 packed/a8", repeats=5, chains=(2, 10), **bb)
             _, dc_med, dc_spread = time_run(
-                build(big, _prep_variant(True), **bb), "b1big int4 decoded",
-                repeats=5, chains=(2, 10), **bb)
+                build(big, _prep_variant("decoded"), **bb),
+                "b1big int4 decoded", repeats=5, chains=(2, 10), **bb)
             # the memory-bound QUANTIZATION win vs bf16 (not just packed vs
             # decoded): bf16 reads 1208 MB of weights per B=1 denoise step
             # where decoded-int8 reads 604 — at the HBM roofline the int8
             # path should land ~1.5-2x. This is the B=1 counterpart of
             # vs_baseline, measured outside tunnel noise on the big model.
-            big_bf16_b1 = jax.tree_util.tree_map(
-                lambda p: p.astype(jnp.bfloat16)
-                if hasattr(p, "astype") else p, big_params)
+            big_bf16_b1 = cast_fp32_bf16(big_params)
             _, bw_med, _ = time_run(
                 build(big, big_bf16_b1, **bb), "b1big bf16",
                 repeats=5, chains=(2, 10), **bb)
@@ -369,6 +384,11 @@ def main():
             record["b1_packed_tokens_per_sec"] = round(pk_med, 2)
             record["b1_decoded_tokens_per_sec"] = round(dc_med, 2)
             record["b1_packed_vs_decoded"] = round(pk_med / dc_med, 4)
+            # controlled comparator: both sides run int8 MXU dots, so this
+            # ratio isolates weight residency (packed-in-HBM + in-kernel
+            # unpack vs decoded-int8 in HBM)
+            record["b1_packed_a8_vs_decoded"] = round(pk8_med / dc_med, 4)
+            record["b1_packed_a8_spread"] = round(pk8_spread, 4)
             record["b1_packed_spread"] = round(pk_spread, 4)
             record["b1_decoded_spread"] = round(dc_spread, 4)
 
@@ -382,14 +402,12 @@ def main():
                 # contractions, attention ~2% of FLOPs). W4A8 decoded-int8
                 # vs bf16, slope-timed.
                 bw = dict(batch=8, seq=256, steps=16)
-                big_bf16 = jax.tree_util.tree_map(
-                    lambda p: p.astype(jnp.bfloat16)
-                    if hasattr(p, "astype") else p, big_params)
+                big_bf16 = cast_fp32_bf16(big_params)
                 _, wbf_med, _ = time_run(
                     build(big, big_bf16, **bw), "wide d2048 bf16",
                     repeats=3, chains=(1, 4), **bw)
                 _, wi8_med, wi8_spread = time_run(
-                    build(big, _prep_variant(True), **bw),
+                    build(big, _prep_variant("decoded"), **bw),
                     "wide d2048 int4/a8/decoded",
                     repeats=3, chains=(1, 4), **bw)
                 record["wide_d2048_tokens_per_sec"] = round(wi8_med, 2)

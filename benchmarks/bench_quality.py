@@ -250,12 +250,34 @@ def main():
         regen (~45 min eager, VERDICT r4 weak #6), so the RAW quantized tree
         is checkpointed next to the anchor (`<anchor>.gptq<bits>.npz`) and
         reused across runs; `prepare(act_bits=...)` reruns cheaply on load.
-        Delete the cache files (or QUALITY_RETRAIN=1) to recompute."""
+        Delete the cache files (or QUALITY_RETRAIN=1) to recompute.
+
+        The cache is keyed to the anchor by a content fingerprint: a
+        retrained anchor (deleted .npz, changed QUALITY_STEPS) must not
+        silently pair with quantized trees of the OLD weights — every
+        gptq row would be evaluated on a params/quant mismatch."""
+        import hashlib
+        with open(ANCHOR + ".npz", "rb") as f:
+            anchor_fp = hashlib.sha1(f.read()).hexdigest()[:16]
         cache = f"{ANCHOR}.gptq{bits}g{group_size}"
+
+        def _cache_fresh():
+            if not os.path.exists(cache + ".npz"):
+                return False
+            try:
+                with open(cache + ".json") as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                return False
+            if meta.get("anchor_fingerprint") != anchor_fp:
+                print(f"gptq cache {cache} is stale (anchor changed) — "
+                      f"recomputing", file=sys.stderr)
+                return False
+            return True
+
         if (bits, group_size) in _gptq_memo:
             gp = _gptq_memo[(bits, group_size)]
-        elif (os.path.exists(cache + ".npz")
-                and not os.environ.get("QUALITY_RETRAIN")):
+        elif _cache_fresh() and not os.environ.get("QUALITY_RETRAIN"):
             gp = load_checkpoint(cache, like=params)
             _gptq_memo[(bits, group_size)] = gp
         else:
@@ -269,7 +291,8 @@ def main():
                 bits=bits, group_size=group_size, symmetric=True)
             save_checkpoint(cache, gp, {"bits": bits,
                                         "group_size": group_size,
-                                        "anchor": os.path.basename(ANCHOR)})
+                                        "anchor": os.path.basename(ANCHOR),
+                                        "anchor_fingerprint": anchor_fp})
             _gptq_memo[(bits, group_size)] = gp
 
         def prep(l):
@@ -294,8 +317,9 @@ def main():
         activation error model (pallas_paged_attention act_bits=8): q
         per-(token, head) symmetric int8, and P with the per-token V scale
         folded in quantized per query column to int8 — the XLA twin of the
-        kernel math, so the attn_act_bits=8 default's ppl cost is measured,
-        not asserted."""
+        kernel math, so attn_act_bits=8's ppl cost is measured, not asserted
+        (the serving DEFAULT is 16 — exact and fastest on v5e, serving.py —
+        with 8 one flag away for MXU-bound chips)."""
         import math as _math
         k1, k2 = jax.random.split(jax.random.PRNGKey(200 + seed))
         x0 = dn.embed_tokens(p, eval_ids)
@@ -373,8 +397,8 @@ def main():
 
     # kv-int1 included as evidence for the serving router's 2-bit floor
     # (DESIGN.md deviation #13): the cliff is measured, not asserted.
-    # kv-int4+a8attn measures the serving default attn_act_bits=8 (int8-MXU
-    # attention) on top of the int4 KV cache.
+    # kv-int4+a8attn measures the attn_act_bits=8 option (int8-MXU
+    # attention; serving defaults to 16 on v5e) on top of the int4 KV cache.
     kv_results = {"kv-fp": kv_eval(0)}
     for bits in (8, 4, 2, 1):
         kv_results[f"kv-int{bits}"] = kv_eval(bits)
@@ -422,7 +446,7 @@ def main():
             lambda md: abs(md[0]) <= max(
                 md[1], 1e-3 * float(np.mean(kv_results["kv-fp"]))))(
                 paired(kv_results["kv-fp"], kv_results["kv-int8"])),
-        # the serving default (int8-MXU attention over int4 KV) must cost
+        # the a8 option (int8-MXU attention over int4 KV) must cost
         # strictly less ppl than dropping the KV itself to 2 bits — the
         # cheapest alternative way to spend accuracy for speed
         "kv int4+a8attn < kv-int2 (strict, paired)": (

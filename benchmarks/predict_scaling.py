@@ -26,6 +26,7 @@ Run standalone: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_cou
 Also merged into SCALING_r0N.json by bench_scaling.py as "predicted_scaling".
 """
 
+import glob
 import json
 import os
 import re
@@ -176,12 +177,15 @@ def predict() -> dict:
     # so the ~1.0 DP prediction rests on a number, not an assumption.
     host_cost = None
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for n in range(9, 0, -1):
-        p = os.path.join(root, f"MULTIPROC_r0{n}.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                host_cost = json.load(f).get("host_scheduler_per_wave")
-            break
+    # glob + numeric sort: a fixed-width pattern (r0N) would go blind at
+    # round 10 and silently cite a stale artifact as latest
+    arts = sorted(
+        glob.glob(os.path.join(root, "MULTIPROC_r*.json")),
+        key=lambda p: int(re.search(r"_r0*(\d+)\.json$", p).group(1)),
+        reverse=True)
+    if arts:
+        with open(arts[0]) as f:
+            host_cost = json.load(f).get("host_scheduler_per_wave")
     return {
         "method": "optimized-HLO collective inventory (dp=2,tp=4 probe) + "
                   "ring model on v5e ICI (200 GB/s/chip, public 1600 Gbps "

@@ -514,7 +514,11 @@ def _matmul_a8(x2: jax.Array, w: MatmulWeight, lead, out_dtype,
     vpb = 8 // w.bits
     Kp = K // vpb
     seg = math.gcd(w.group_size, Kp)
-    tiles = _pick_tile(M, w.N, K=K, scratch_itemsize=1)
+    VMEM_W_BUDGET = 6 * 1024 * 1024
+    # full-width mode's (K, N) int8 scratch is bounded by its own check
+    # below; only the column path needs the (K, TN) scratch bound
+    full = K * w.N <= VMEM_W_BUDGET
+    tiles = _pick_tile(M, w.N, K=None if full else K, scratch_itemsize=1)
     if tiles is None or seg % 8 != 0:
         return a8_matmul_reference(x2, w, bias, activation,
                                    out_dtype).reshape(*lead, w.N)
@@ -530,8 +534,6 @@ def _matmul_a8(x2: jax.Array, w: MatmulWeight, lead, out_dtype,
         transcendentals=M * w.N if activation else 0,
     )
 
-    VMEM_W_BUDGET = 6 * 1024 * 1024
-    full = K * w.N <= VMEM_W_BUDGET
     if full:
         grid = (M // TM,)
         idx = lambda i: (0, 0)                    # noqa: E731
@@ -609,7 +611,12 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
     vpb = 8 // w.bits
     Kp = K // vpb
     seg = math.gcd(w.group_size, Kp)
-    tiles = _pick_tile(M, w.N, K=K)
+    # Full-width mode keeps the whole dequantized weight as a (K, N) VMEM
+    # scratch under its own budget check; the column path's (K, TN) scratch
+    # bound must not gate it, or large-K narrow-N shapes (K*TN over the
+    # bound but K*N*2 under budget) lose the kernel entirely.
+    full = K * w.N * 2 <= 6 * 1024 * 1024
+    tiles = _pick_tile(M, w.N, K=None if full else K)
     if tiles is None or seg % 8 != 0:
         # shape not kernel-friendly: fused XLA fallback
         out = jnp.dot(x2.astype(jnp.bfloat16), w.dequantize(jnp.bfloat16),
@@ -626,8 +633,7 @@ def matmul(x: jax.Array, w: MatmulWeight, out_dtype=jnp.float32,
                   activation=activation)
 
     # Full-width mode: whole dequantized weight in VMEM, dequant once.
-    VMEM_W_BUDGET = 6 * 1024 * 1024
-    if K * w.N * 2 <= VMEM_W_BUDGET:
+    if full:
         specs = [
             pl.BlockSpec((TM, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Kp, w.N), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -342,6 +342,10 @@ def _batched_kernel(pt_ref,      # scalar prefetch [B, n_pages_max]
     vpb = 8 // bits
     mask = (1 << bits) - 1
     a8 = act_bits == 8
+    # page grouping exists only on the a8 path; the bf16 path's DMAs copy
+    # single-page sources into the full buffer slot and its unpack reads
+    # the whole buffer, so NP > 1 would misread it
+    assert a8 or NP == 1, "NP page grouping requires act_bits=8"
     # a8 levels are CENTERED (lv - 2^(bits-1), folded into the zero-points):
     # for bits=8 it is what makes 0..255 fit signed int8 at all, and for
     # every width it kills the coherent error term — the int8 dots'
@@ -742,9 +746,13 @@ def batched_paged_attention(
     # in-kernel 119 T/s at K=128 vs 262 at K=512). MEASURED OUTCOME
     # (LONGSEQ r5, DESIGN.md): NP=4 is SLOWER end-to-end — the kernel is
     # VPU-bound, so faster dots buy nothing while the group's sidecar
-    # assembly adds VPU work. NP=1 is the best a8 config and is kept; the
-    # grouping machinery stays for chips where the MXU is the bound.
-    NP = 1
+    # assembly adds VPU work. NP_A8=1 is the best a8 config and is kept;
+    # the grouping machinery stays for chips where the MXU is the bound.
+    # The lever applies to the a8 path ONLY: the bf16 path's DMA/unpack is
+    # single-page (its dots are not contraction-starved), so its scratch
+    # and semaphores must stay NP=1-sized regardless.
+    NP_A8 = 1
+    NP = NP_A8 if act_bits == 8 else 1
     QC = min(TQ or 0, 2048 if NP == 1 else 1024) or None
     if (QC is None or GD % 128 != 0 or Pp % 8 != 0 or P % 128 != 0):
         if G > 1:  # ungroup for the XLA fallback

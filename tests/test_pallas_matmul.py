@@ -296,3 +296,56 @@ def test_int8w_mlp_rejects_oversized():
     out = pmm.int8w_mlp(jnp.zeros((16, 4096)), big, cs,
                         jnp.zeros((4096,)), big, cs, jnp.zeros((4096,)))
     assert out is None
+
+
+def test_large_k_narrow_n_keeps_fullwidth_kernel():
+    """K large enough that the column path's (K, TN) scratch bound rejects
+    every TN must still dispatch the FULL-WIDTH kernel when K*N fits its
+    VMEM budget (review r5: the K-aware tile bound gated dispatch before
+    the full-width branch, silently demoting large-K narrow-N shapes to
+    the XLA fallback)."""
+    K, N = 20480, 128
+    _, qt = _mk(K=K, N=N, bits=4)
+    mw = pmm.prepare(qt)
+    # the column path is indeed unavailable at this K...
+    assert pmm._pick_tile(8, N, K=K) is None
+    # ...but full-width fits (K*N*2 <= 6 MiB) and must win the dispatch:
+    # the bf16 fallback calls MatmulWeight.dequantize; the kernel never does
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, K)),
+                    jnp.float32)
+    ref = jnp.dot(x.astype(jnp.bfloat16), mw.dequantize(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    called = []
+    orig = pmm.MatmulWeight.dequantize
+    pmm.MatmulWeight.dequantize = (
+        lambda self, *a, **k: (called.append(1), orig(self, *a, **k))[1])
+    try:
+        out = pmm.matmul(x, mw)
+    finally:
+        pmm.MatmulWeight.dequantize = orig
+    assert not called, "matmul took the XLA dequantize fallback"
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
+
+
+def test_large_k_narrow_n_keeps_fullwidth_kernel_a8():
+    """Same dispatch guarantee for the int8-activation path: full-width
+    (K*N under budget) must not be gated by the column path's scratch
+    bound."""
+    K, N = 20480, 128
+    _, qt = _mk(K=K, N=N, bits=4)
+    mw = pmm.prepare(qt, act_bits=8)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(8, K)),
+                    jnp.float32)
+    ref = pmm.a8_matmul_reference(x, mw, None, None, jnp.float32)
+    called = []
+    orig = pmm.a8_matmul_reference
+    pmm.a8_matmul_reference = (
+        lambda *a, **k: (called.append(1), orig(*a, **k))[1])
+    try:
+        out = pmm.matmul(x, mw)
+    finally:
+        pmm.a8_matmul_reference = orig
+    assert not called, "a8 matmul took the XLA reference fallback"
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 2e-2, rel
