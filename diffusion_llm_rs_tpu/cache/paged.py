@@ -214,6 +214,11 @@ class PagedKVCache:
         bits = handles[0].bits
         if any(h.bits != bits for h in handles):
             raise ValueError("mixed-precision chain: use gather()")
+        # the flatten-and-slice below is only dense if every page before the
+        # last is full; an interior partial page would silently return its
+        # zero padding as real keys and truncate the tail
+        if any(h.tokens != self.page_size for h in handles[:-1]):
+            raise ValueError("interior partial page: use gather()")
         pool = self._pools[bits]
         slots = jnp.asarray([h.slot for h in handles])
         vpb = 8 // bits
@@ -301,7 +306,15 @@ class PagedKVCache:
             raise ValueError(f"{len(seq_ids)} seq_ids for batch {B}")
         chains: List[List[PageHandle]] = []
         for sid in seq_ids:
-            handles = self.page_tables.get(sid, []) if sid is not None else []
+            if sid is None:
+                chains.append([])
+                continue
+            handles = self.page_tables.get(sid)
+            if handles is None:
+                # surface caller bugs (typo / already-freed id) like
+                # attend()/gather() do, instead of silently attending
+                # over an empty chain and returning zeros
+                raise KeyError(f"unknown sequence {sid!r}")
             for i, h in enumerate(handles):
                 if h.slot == -1:
                     self.restore_page(sid, i)
@@ -330,9 +343,23 @@ class PagedKVCache:
         return merge_partials(parts)
 
     def free(self, seq_id: str) -> int:
-        """Release a sequence's pages back to the pools."""
+        """Release a sequence's pages back to the pools. Spilled pages
+        (slot == -1) hold no device slot — pushing their sentinel into the
+        free list would hand -1 to the next _alloc (which then writes slot
+        n-1, possibly another live page); their host-tier payload is
+        reclaimed instead."""
         handles = self.page_tables.pop(seq_id, [])
-        for h in handles:
+        for i, h in enumerate(handles):
+            if h.slot == -1:
+                if self.memory_manager is not None:
+                    key = f"kvpage:{seq_id}:{i}"
+                    for name in ("k_data", "v_data", "k_scale", "k_zp",
+                                 "v_scale", "v_zp"):
+                        try:
+                            self.memory_manager.deallocate(f"{key}:{name}")
+                        except Exception:
+                            pass  # best-effort reclaim
+                continue
             self._pools[h.bits].free.append(h.slot)
         return len(handles)
 
@@ -356,6 +383,8 @@ class PagedKVCache:
         if self.memory_manager is None:
             raise RuntimeError("no MemoryManager attached")
         h = self.page_tables[seq_id][page_idx]
+        if h.slot == -1:
+            return  # already spilled (symmetric with restore_page's guard)
         pool = self._pools[h.bits]
         payload = {
             "k_data": np.asarray(pool.k_data[h.slot]),

@@ -87,9 +87,9 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
         # every process holds the same value and serves its local shards)
         self.x = jax.device_put(
             np.asarray(self.x), NamedSharding(mesh, P("data", None, None)))
-        if self.attend_mode == "paged":
-            self.pools = {bits: self._make_pool(bits)
-                          for bits in self.buckets}
+        # pools need no re-placement: self.mesh is set BEFORE
+        # super().__init__, so every pool the base constructor built already
+        # went through the sharded _make_pool below
 
     def _to_host(self, arr) -> np.ndarray:
         """Retirement readout when the 'data' axis spans OS processes: the
@@ -111,9 +111,7 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
 
     def _make_pool(self, bits: int) -> Dict[str, jax.Array]:
         pool = super()._make_pool(bits)
-        if not hasattr(self, "mesh"):  # during super().__init__
-            return pool
-        mesh = self.mesh
+        mesh = self.mesh  # set before super().__init__, so always present
 
         def place(a):
             spec = P("data", "model", *([None] * (a.ndim - 2)))
@@ -183,7 +181,12 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
 
         def run(params_stacked, x, t_vec, active, seq_lens, page_bits,
                 slot_keys, pools, used):
-            key = (jax.tree_util.tree_structure(params_stacked), used)
+            # pool MEMBERSHIP is part of the key: HBM-budget spill/restore
+            # changes which buckets exist, and the shard_map's in/out specs
+            # are built from the pools dict — a cached program for a
+            # different bucket set would fail the pytree/spec match
+            key = (jax.tree_util.tree_structure(params_stacked), used,
+                   tuple(sorted(pools)))
             if key not in jitted:
                 pspecs = jax.tree_util.tree_map(
                     lambda l: P("model", *([None] * (l.ndim - 1))),
@@ -295,8 +298,10 @@ class ShardedPagedBatcher(PagedContinuousBatcher):
 
         def run(params_stacked, x, rng, t0, totals, seq_lens, scores,
                 pools, used, n_steps):
+            # bucket membership in the key for the same reason as the
+            # per-step run(): spilled pools change the specs' structure
             key = (jax.tree_util.tree_structure(params_stacked), used,
-                   n_steps)
+                   n_steps, tuple(sorted(pools)))
             if key not in jitted:
                 pspecs = jax.tree_util.tree_map(
                     lambda l: P("model", *([None] * (l.ndim - 1))),

@@ -147,6 +147,13 @@ class ContinuousBatcher:
             raise ValueError(
                 f"request seq_len {request.seq_len} > slot seq_len "
                 f"{self.seq_len}")
+        # num_steps=0 would admit as t=-1 (immediately inactive, never
+        # completed); num_steps > T would index the schedule out of range
+        # (jax gather CLAMPS, silently reusing the last coefficients)
+        if not 1 <= request.num_steps <= self.cfg.num_timesteps:
+            raise ValueError(
+                f"request num_steps {request.num_steps} outside "
+                f"[1, {self.cfg.num_timesteps}]")
         self.queue.append(request)
         metrics.inc("batcher.submitted")
 
@@ -389,13 +396,25 @@ def slot_phase_bits_np(cfg: DiffusionConfig, t: np.ndarray,
     if qc.progressive_precision:
         lo = bucket_bits(qc.min_decode_bits)
         decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db)
-        progress = np.clip((half - t) / np.maximum(half, 1), 0.0, 1.0)
-        target = np.maximum(qc.decode_bits * (1.0 - progress) +
-                            qc.min_decode_bits * progress,
-                            float(qc.min_decode_bits))
+        # float32 in the SAME op order as the device router
+        # (make_slot_bits_router): float64 here diverged from the device's
+        # float32 at bucket boundaries (e.g. target 4.0000000000000004 vs
+        # 3.9999998), flipping the pick — the chunked path then pruned the
+        # bucket the device actually routed to (review r5). Exact ulp
+        # parity is not guaranteed (XLA may fuse an FMA), so the chunk's
+        # bucket union additionally guards boundaries with an eps
+        # (`_used_buckets_chunk`).
+        progress = np.clip(
+            (half - t).astype(np.float32) /
+            np.maximum(half, 1).astype(np.float32),
+            np.float32(0.0), np.float32(1.0))
+        target = (np.float32(qc.decode_bits) *
+                  (np.float32(1.0) - progress) +
+                  np.float32(qc.min_decode_bits) * progress)
+        target = np.maximum(target, np.float32(qc.min_decode_bits))
     else:
         decode_widths = (db,)
-        target = np.full(t.shape, float(db), np.float64)
+        target = np.full(t.shape, float(db), np.float32)
     dbits = np.full(t.shape, min(decode_widths), np.int32)
     for b in sorted(decode_widths):
         dbits = np.where(target >= b, b, dbits)
@@ -897,7 +916,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
         the whole sequence each step, so unwritten pages are never read."""
         if not active_mask.any():
             return (self.buckets[0],)
-        used = set(int(v) for v in np.unique(page_bits[active_mask]))
+        # only VALID pages (within each slot's seq_len) vote: in salience
+        # mode the tail pages past n_pages keep the broadcast phase bits
+        # (e.g. 8) that no kernel ever reads — counting them would pay that
+        # bucket's full quantize+write (~1.15x step cost) for nothing
+        used = set()
+        for b in np.nonzero(active_mask)[0]:
+            n_pages = -(-self.slot_request[b].seq_len // self.page_size)
+            used.update(int(v) for v in np.unique(page_bits[b, :n_pages]))
         return tuple(b for b in self.buckets if b in used) or (self.buckets[0],)
 
     def _invoke_step(self, active_mask: np.ndarray,
@@ -916,8 +942,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if self.salience_routing:
             self.x, self.pools, scores = out
             a = self.salience_ema
+            # _to_host, not np.asarray: scores come back data-sharded and
+            # on a multi-process mesh are not fully addressable here (the
+            # sharded subclass overrides _to_host with a process allgather)
             self.page_scores = (a * self.page_scores +
-                                (1.0 - a) * np.asarray(scores))
+                                (1.0 - a) * self._to_host(scores))
         else:
             self.x, self.pools = out
 
@@ -934,15 +963,44 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _used_buckets_chunk(self, active_mask: np.ndarray,
                             totals: np.ndarray, c: int) -> Tuple[int, ...]:
         """Union of buckets any active slot touches over the chunk's c steps
-        (host twin of the device router, evaluated at each offset)."""
+        (host twin of the device router, evaluated at each offset).
+
+        Must be a SUPERSET of the device router's picks: a bucket the twin
+        prunes but the device routes to is skipped by the attend loop and
+        the step's attention silently zeroes. The twin now matches the
+        device's float32 arithmetic, but ulp-level divergence (FMA fusion)
+        can still flip a pick exactly at a bucket boundary — so for
+        decode-phase slots both neighbors of any boundary within eps of the
+        float target are included (costs at most one extra bucket for the
+        boundary step)."""
+        qc = self.cfg.quant_config
+        progressive = (self.cfg.use_phase_aware_quant and
+                       qc.progressive_precision)
+        if progressive:
+            lo_w = bucket_bits(qc.min_decode_bits)
+            widths = sorted(b for b in SUPPORTED
+                            if lo_w <= b <= bucket_bits(qc.decode_bits))
+
+            def pick(x):
+                p = widths[0]
+                for b in widths:
+                    if x >= b:
+                        p = b
+                return p
+
         used = set()
         for s in range(c):
             step_active = active_mask & (self.t - s >= 0)
             if not step_active.any():
                 break
-            bits, _ = slot_phase_bits_np(
-                self.cfg, np.maximum(self.t - s, 0), totals)
+            tt = np.maximum(self.t - s, 0)
+            bits, budget = slot_phase_bits_np(self.cfg, tt, totals)
             used.update(int(v) for v in np.unique(bits[step_active]))
+            if progressive:
+                decode_mask = step_active & (tt <= totals // 2)
+                for x in budget[decode_mask]:
+                    used.add(pick(float(x) - 1e-3))
+                    used.add(pick(float(x) + 1e-3))
         return tuple(b for b in self.buckets if b in used) or (self.buckets[0],)
 
     def _used_buckets_chunk_salience(self, active_mask: np.ndarray,
@@ -971,8 +1029,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 self.cfg, np.maximum(self.t - s, 0), totals)
             for b in np.nonzero(step_active)[0]:
                 n_valid = -(-self.slot_request[b].seq_len // self.page_size)
+                # +1e-3 eps: the device allocator compares its float32
+                # budget; the host bound must err toward inclusion
                 max_extra = max(max_extra,
-                                (float(budget[b]) - floor) * n_valid)
+                                (float(budget[b]) + 1e-3 - floor) * n_valid)
         return tuple(lv for lv in opts
                      if lv == floor or (lv - floor) <= max_extra)
 
@@ -1012,8 +1072,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
             jnp.asarray(self.page_scores, jnp.float32), self.pools, used, c)
         if self.salience_routing:
             # np.array (writable copy): np.asarray of a jax array is a
-            # READ-ONLY view, and _admit writes per-slot resets into it
-            self.page_scores = np.array(scores)
+            # READ-ONLY view, and _admit writes per-slot resets into it;
+            # _to_host first so multi-process meshes allgather the shards
+            self.page_scores = np.array(self._to_host(scores))
         # previous wave's deferred retires: transfer now, overlapping the
         # chunk just dispatched (mirrors the base _step_impl — without this,
         # step() callers saw no completions until drain and every pending
@@ -1052,8 +1113,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _spill_bucket(self, bits: int) -> None:
         pool = self.pools.pop(bits)
         for name, arr in pool.items():
+            # _to_host: pool arrays are mesh-sharded in the sharded batcher
             self.memory.allocate(self._pool_key(bits, name),
-                                 np.asarray(arr), tier="host")
+                                 self._to_host(arr), tier="host")
         self._spilled.add(bits)
         metrics.inc("batcher.pool_spills")
 

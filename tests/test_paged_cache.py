@@ -133,3 +133,76 @@ def test_checkpoint_roundtrip(tmp_path):
     assert loaded["h"].dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(loaded["f8"].dequantize()),
                                np.asarray(params["f8"].dequantize()))
+
+
+def test_free_after_spill_keeps_allocator_sound(tmp_path):
+    """free() of a sequence holding a SPILLED page must not push the -1
+    sentinel into the pool free list (review r5: the next _alloc popped -1
+    and the following append overwrote slot n-1 — possibly another live
+    page) and must reclaim the host-tier payload."""
+    from diffusion_llm_rs_tpu.cache.memory_manager import NotFoundError
+
+    mm = MemoryManager(spill_dir=str(tmp_path))
+    cache = PagedKVCache(bh=2, head_dim=64, page_size=32, memory_manager=mm,
+                         pages_per_bits={8: 4})
+    k, v = _kv(bh=2, s=64, seed=5)
+    cache.append("s", k, v, bits=8)
+    cache.spill_page("s", 0)
+    n_free_before = cache.num_free(8)
+    assert cache.free("s") == 2
+    pool = cache._pools[8]
+    assert -1 not in pool.free
+    # only the on-device page returns to the pool
+    assert cache.num_free(8) == n_free_before + 1
+    # host payload reclaimed
+    with pytest.raises(NotFoundError):
+        mm.get("kvpage:s:0:k_data")
+    # allocator still sound: a fresh 4-page sequence allocates cleanly
+    k2, v2 = _kv(bh=2, s=128, seed=6)
+    cache.append("t", k2, v2, bits=8)
+    slots = [h.slot for h in cache.page_tables["t"]]
+    assert len(set(slots)) == 4 and all(s >= 0 for s in slots)
+    gk, _ = cache.gather("t")
+    assert float(jnp.mean(jnp.abs(gk - k2))) < 0.02
+
+
+def test_double_spill_is_noop(tmp_path):
+    """A second spill of an already-spilled page must not overwrite the
+    host payload with another slot's data or corrupt the free list."""
+    mm = MemoryManager(spill_dir=str(tmp_path))
+    cache = PagedKVCache(bh=2, head_dim=64, page_size=32, memory_manager=mm)
+    k, v = _kv(bh=2, s=32, seed=7)
+    cache.append("s", k, v, bits=8)
+    before, _ = cache.gather("s")
+    cache.spill_page("s", 0)
+    n_free = cache.num_free(8)
+    cache.spill_page("s", 0)       # second call: guarded no-op
+    assert cache.num_free(8) == n_free
+    cache.restore_page("s", 0)
+    after, _ = cache.gather("s")
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                               atol=1e-6)
+
+
+def test_gather_packed_rejects_interior_partial():
+    """An interior partial page would silently return zero padding as real
+    keys and truncate the tail — gather_packed must raise (gather() handles
+    it correctly)."""
+    cache = PagedKVCache(bh=2, head_dim=64, page_size=32)
+    k, v = _kv(bh=2, s=40, seed=8)         # pages [32, 8]: interior partial
+    cache.append("s", k, v, bits=8)        # after the next append
+    k2, v2 = _kv(bh=2, s=32, seed=9)
+    cache.append("s", k2, v2, bits=8)
+    with pytest.raises(ValueError, match="interior partial"):
+        cache.gather_packed("s")
+    gk, _ = cache.gather("s")              # gather() slices per page: exact
+    assert gk.shape == (2, 72, 64)
+
+
+def test_batched_attend_unknown_seq_raises():
+    cache = PagedKVCache(bh=2, head_dim=64, page_size=32)
+    k, v = _kv(bh=2, s=32, seed=10)
+    cache.append("a", k, v, bits=8)
+    q = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 8, 64))
+    with pytest.raises(KeyError):
+        cache.batched_attend(["a", "never-appended"], q)

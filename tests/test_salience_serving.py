@@ -246,3 +246,55 @@ def test_admission_after_chunk_resets_scores_writable():
         b.submit(Request(f"r{i}", seq_len=16, num_steps=5))
     done = b.run_until_drained()
     assert len(done) == 4
+
+
+def test_slot_phase_bits_np_matches_router_at_bucket_boundaries():
+    """Review r5: float64 host arithmetic diverged from the device's float32
+    at bucket-boundary steps (decode 8 -> min 1, e.g. total=28, t=6: host
+    target 4.0000000000000004 -> 4-bit vs device 3.9999998 -> 2-bit). The
+    twin now mirrors the device's float32 op order — exact parity over a
+    dense sweep of the adversarial config."""
+    cfg = DiffusionConfig.tiny()
+    cfg.quant_config.progressive_precision = True
+    cfg.quant_config.decode_bits = 8
+    cfg.quant_config.min_decode_bits = 1
+    _, fn = make_slot_bits_router(cfg)
+    for total in range(2, 80):
+        ts = np.arange(total)
+        tot = np.full((total,), total)
+        want = np.asarray(fn(jnp.asarray(ts, jnp.int32),
+                             jnp.asarray(tot, jnp.int32)))
+        got, _ = slot_phase_bits_np(cfg, ts, tot)
+        np.testing.assert_array_equal(got, want, err_msg=f"total={total}")
+
+
+def test_chunk_bucket_union_is_superset_of_device_router():
+    """A bucket the host twin prunes but the device router picks would make
+    the attend loop skip every page of that step — silent zero attention.
+    The chunk's bucket union must therefore cover the device's pick at
+    every step offset, for every chunk, across the adversarial config."""
+    cfg = DiffusionConfig.tiny(vocab_size=128)
+    cfg.quant_config.progressive_precision = True
+    cfg.quant_config.decode_bits = 8
+    cfg.quant_config.min_decode_bits = 1
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    b = PagedContinuousBatcher(params, cfg, num_slots=1, seq_len=16,
+                               page_size=8, max_chunk=32)
+    _, dev_fn = make_slot_bits_router(cfg)
+    for total in (7, 14, 28, 55):
+        b.t[0] = total - 1
+        b.slot_request[0] = Request(f"r{total}", seq_len=16, num_steps=total)
+        totals = np.array([total], np.int64)
+        while b.t[0] >= 0:
+            c = b._chunk_steps(b.t >= 0)
+            used = b._used_buckets_chunk(b.t >= 0, totals, c)
+            for s in range(c):
+                t_s = int(b.t[0]) - s
+                if t_s < 0:
+                    break
+                dev = int(np.asarray(dev_fn(
+                    jnp.asarray([t_s], jnp.int32),
+                    jnp.asarray(totals, jnp.int32)))[0])
+                assert dev in used, (total, t_s, dev, used)
+            b.t[0] -= c
+        b.slot_request[0] = None

@@ -50,3 +50,18 @@ def test_batcher_rejects_oversize(batcher):
 
 def test_batcher_idle_step(batcher):
     assert batcher.step() == 0
+
+
+def test_submit_validates_num_steps():
+    """num_steps=0 would admit as t=-1 (silently dropped, never completed);
+    num_steps > T would index the schedule out of range where jax gather
+    clamps silently (review r5)."""
+    cfg = DiffusionConfig.tiny(vocab_size=64)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    b = ContinuousBatcher(params, cfg, num_slots=1, seq_len=8)
+    with pytest.raises(ValueError, match="num_steps"):
+        b.submit(Request("zero", seq_len=8, num_steps=0))
+    with pytest.raises(ValueError, match="num_steps"):
+        b.submit(Request("over", seq_len=8,
+                         num_steps=cfg.num_timesteps + 1))
+    b.submit(Request("ok", seq_len=8, num_steps=cfg.num_timesteps))
