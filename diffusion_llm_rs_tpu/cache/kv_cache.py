@@ -35,7 +35,13 @@ from diffusion_llm_rs_tpu.quant.core import QuantizedTensor, dequantize, quantiz
 
 
 def _quantize_kv(arr: jax.Array, bits: int) -> QuantizedTensor:
-    """Per-token-per-head quantization: reduce over the last (feature) axis."""
+    """Per-token-per-head quantization: reduce over the last (feature) axis.
+
+    Numerically identical to `sampler._quantize_kv_pair`'s
+    quantize(granularity="group", group_size=last_dim) — kept as explicit
+    min/max + scale/zp so the "channel"-labeled axis layout (keepdims
+    sidecars over the LAST axis) is spelled out where the entry consumes it;
+    any change here must stay in lockstep with that path."""
     x = jnp.asarray(arr, jnp.float32)
     mn = jnp.min(x, axis=-1, keepdims=True)
     mx = jnp.max(x, axis=-1, keepdims=True)
@@ -123,7 +129,15 @@ class KVCacheEntry:
     # -- access (`lib.rs:178-205`) ------------------------------------------
 
     def _active(self) -> Optional[QuantizedKVEntry]:
+        # BOTH phase copies rebuild lazily: a decode-phase update() clears
+        # the prefill copy, and without the lazy rebuild here a transition
+        # back to prefill silently served full-precision K/V (and
+        # get_quantized() returned None) for the rest of the serve
         if self.is_prefill_phase:
+            if self._prefill_quantized is None and self.prefill_quant_bits > 0 \
+                    and self.seq_len > 0:
+                self._prefill_quantized = QuantizedKVEntry.create(
+                    self.keys, self.values, self.prefill_quant_bits)
             return self._prefill_quantized
         if self._decode_quantized is None and self.decode_quant_bits > 0 \
                 and self.seq_len > 0:
@@ -213,19 +227,27 @@ class KVCacheManager:
 
     def update(self, cache_id: str, keys: jax.Array,
                values: jax.Array) -> None:
-        entry_size = int(np.prod(keys.shape)) * 4 * 2
-        if self._memory_usage + entry_size > self.max_cache_size:
-            self.evict(self._memory_usage + entry_size - self.max_cache_size)
         entry = self._entries.get(cache_id)
+        old = entry.memory_usage() if entry is not None else 0
+        entry_size = int(np.prod(keys.shape)) * 4 * 2  # fp32 upper bound
+        # credit the entry's current bytes in the projection and NEVER clamp
+        # the delta: a shrinking entry (e.g. decode-phase re-quantization at
+        # fewer bits) must decrease the accounting, or _memory_usage drifts
+        # monotonically upward and evict() fires on phantom pressure
+        projected = self._memory_usage - old + entry_size
+        if projected > self.max_cache_size:
+            self.evict(projected - self.max_cache_size)
+            entry = self._entries.get(cache_id)  # eviction may have taken it
+            old = entry.memory_usage() if entry is not None else 0
         if entry is not None:
-            old = entry.memory_usage()
             entry.update(keys, values)
-            self._memory_usage += max(entry.memory_usage() - old, 0)
+            self._memory_usage += entry.memory_usage() - old
         else:
             entry = KVCacheEntry(keys, values, self.prefill_bits,
                                  self.decode_bits)
             self._entries[cache_id] = entry
             self._memory_usage += entry.memory_usage()
+        self._memory_usage = max(self._memory_usage, 0)
 
     def evict(self, bytes_to_free: int) -> int:
         by_size = sorted(((k, e.memory_usage()) for k, e in self._entries.items()),

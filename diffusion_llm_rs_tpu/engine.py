@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 import os
 from collections import OrderedDict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -113,6 +113,8 @@ class Engine:
         # HBM page pools, so the LRU cap is small
         self._samplers: OrderedDict = OrderedDict()
         self._samplers_cap = 4
+        # per-instance jitted next-token predictor (built lazily)
+        self._predict_fn: Optional[Callable] = None
 
     # ------------------------------------------------------------------
     # weight quantization
@@ -231,6 +233,10 @@ class Engine:
         self._prefill_store.clear()
         self._prefix_index.clear()
         self._samplers.clear()
+        # KV entries hold K/V computed from the OLD params — serving them
+        # after quantize_weights/load would mix old-weight attention state
+        # with new-weight computation (review r5)
+        self.kv_cache.clear()
 
     # ------------------------------------------------------------------
     # tokenization + attention-mask cache (`diffuse-llm-rs/src/lib.rs:1224-1256`)
@@ -321,6 +327,13 @@ class Engine:
                     reuse += 1
         new_ids = token_ids[reuse:]
         self.prefill_prefix_hits += reuse
+        # re-prefilling with a SHORTER (or diverged) prompt: drop the old
+        # tail entries, or get_cached_vectors serves the stale prompt's
+        # embeddings instead of the documented zero-on-miss, and the store
+        # grows without bound across re-prefills (review r5)
+        if indexed is not None:
+            for i in range(len(token_ids), len(indexed[1])):
+                self._prefill_store.pop(f"{cache_id}:{i}", None)
         for i in range(reuse):   # matched prefix: refresh salience only
             self.salience.update(f"{cache_id}:{i}")
         if new_ids:
@@ -355,17 +368,25 @@ class Engine:
         """Next-token probabilities from the denoiser hidden state at t=0 —
         the real path the reference sketches (`lib.rs:148-152`)."""
         ids = jnp.asarray([list(token_ids)], jnp.int32)
-        probs = self._predict_jit(self.params, ids)
-        return probs[0]
+        if self._predict_fn is None:
+            cfg = self.config
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _predict_jit(self, params, ids):
-        x = dn.embed_tokens(params, ids)
-        t = jnp.zeros((ids.shape[0],), jnp.int32)
-        _, h = dn.denoiser_forward(params, self.config, x, t,
-                                   return_hidden=True)
-        logits = dn.logits_from_hidden(params, h[:, -1:, :])[:, 0, :]
-        return jax.nn.softmax(logits, axis=-1)
+            # per-instance jit of (params, ids) — `static_argnums=0` on a
+            # method pins `self` (params, samplers, stores) in jax's global
+            # compilation cache forever, leaking every Engine ever built
+            # (review r5)
+            @jax.jit
+            def predict(params, ids):
+                x = dn.embed_tokens(params, ids)
+                t = jnp.zeros((ids.shape[0],), jnp.int32)
+                _, h = dn.denoiser_forward(params, cfg, x, t,
+                                           return_hidden=True)
+                logits = dn.logits_from_hidden(params, h[:, -1:, :])[:, 0, :]
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._predict_fn = predict
+        probs = self._predict_fn(self.params, ids)
+        return probs[0]
 
     def sample_token(self, probs) -> str:
         """Greedy argmax -> token string (`lib.rs:162-174`)."""

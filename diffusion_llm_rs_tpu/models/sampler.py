@@ -46,6 +46,17 @@ def bucket_bits(target: float) -> int:
     return SUPPORTED[-1]
 
 
+def bucket_bits_up(target: float) -> int:
+    """Smallest supported width >= target — the FLOOR bucketing: a
+    configured min_decode_bits of 3 must floor the schedule at 4, not be
+    rounded down to 2 (review r5: bucket_bits(max(target, 3)) == 2 ran the
+    decode phase BELOW the configured minimum)."""
+    for b in reversed(SUPPORTED):
+        if b >= target:
+            return b
+    return SUPPORTED[0]
+
+
 def plan_segments(num_steps: int, cfg: DiffusionConfig) -> List[Tuple[int, int, int]]:
     """Static (bits, t_hi, t_lo) segments for the reverse loop t = T-1 .. 0.
 
@@ -60,7 +71,9 @@ def plan_segments(num_steps: int, cfg: DiffusionConfig) -> List[Tuple[int, int, 
     for t in range(num_steps - 1, -1, -1):
         is_prefill = t > half
         if not cfg.use_phase_aware_quant:
-            bits = cfg.kv_quant_bits or 8
+            # bucket like the serving router does: an unsupported width
+            # (e.g. 3) otherwise crashes pack_bits mid-sampling
+            bits = bucket_bits(cfg.kv_quant_bits or 8)
         elif is_prefill:
             bits = bucket_bits(qc.prefill_bits)
         elif qc.progressive_precision:
@@ -72,7 +85,11 @@ def plan_segments(num_steps: int, cfg: DiffusionConfig) -> List[Tuple[int, int, 
             # We use progress = (half - t)/half over t in [half, 0].
             progress = min(max((half - t) / max(half, 1), 0.0), 1.0)
             target = qc.decode_bits * (1.0 - progress) + qc.min_decode_bits * progress
-            bits = bucket_bits(max(target, qc.min_decode_bits))
+            # round DOWN onto supported widths (deliberate: precision drops
+            # early, conservative on memory — and identical to the serving
+            # router's pick), but never below the ceil-bucketed floor
+            bits = max(bucket_bits(max(target, qc.min_decode_bits)),
+                       bucket_bits_up(qc.min_decode_bits))
         else:
             bits = bucket_bits(qc.decode_bits)
         if segs and segs[-1][0] == bits:

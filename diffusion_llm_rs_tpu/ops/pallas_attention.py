@@ -164,7 +164,15 @@ def attention(q: jax.Array, k: QuantKV, v: QuantKV,
     sm_scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
     TQ = next((t for t in (256, 128, 64, 32, 16, 8) if Sq % t == 0), None)
     TK = next((t for t in (512, 256, 128) if Skv % t == 0), None)
-    if TQ is None or TK is None or D % (8 * (8 // k.bits)) != 0:
+    # VMEM budget per grid cell: packed K+V [Skv, Dp] x2 resident, plus
+    # sidecars (4 x [1, Skv] f32), q/out/acc tiles — without this guard
+    # long Skv fails Mosaic compilation instead of falling back (mirrors
+    # dense_attention's check; review r5)
+    Dp_est = D // (8 // k.bits)
+    vmem_est = (2 * Skv * Dp_est + 4 * Skv * 4 +
+                (TQ or 0) * D * (2 + 4 + 4))
+    if (TQ is None or TK is None or D % (8 * (8 // k.bits)) != 0 or
+            vmem_est > 12 * 1024 * 1024):
         return _attention_fallback(q, k, v, sm_scale)
 
     kernel = functools.partial(_attn_kernel, bits=k.bits, D=D, TK=TK,

@@ -35,7 +35,8 @@ from diffusion_llm_rs_tpu.cache.salience import allocate_bits
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.models.diffusion import DiffusionSchedule, p_sample
-from diffusion_llm_rs_tpu.models.sampler import SUPPORTED, bucket_bits
+from diffusion_llm_rs_tpu.models.sampler import (SUPPORTED, bucket_bits,
+                                                 bucket_bits_up)
 from diffusion_llm_rs_tpu.ops.pallas_paged_attention import (
     batched_paged_attention, merge_partials)
 from diffusion_llm_rs_tpu.utils.metrics import metrics
@@ -314,8 +315,8 @@ def make_slot_bits_router(cfg: DiffusionConfig):
     pb = bucket_bits(qc.prefill_bits)
     db = bucket_bits(qc.decode_bits)
     if qc.progressive_precision:
-        lo = bucket_bits(qc.min_decode_bits)
-        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db)
+        lo = bucket_bits_up(qc.min_decode_bits)  # floor never rounds DOWN
+        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db) or (db,)
     else:
         decode_widths = (db,)
     widths = tuple(sorted(set(decode_widths) | {pb}))
@@ -394,8 +395,8 @@ def slot_phase_bits_np(cfg: DiffusionConfig, t: np.ndarray,
     pb = bucket_bits(qc.prefill_bits)
     db = bucket_bits(qc.decode_bits)
     if qc.progressive_precision:
-        lo = bucket_bits(qc.min_decode_bits)
-        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db)
+        lo = bucket_bits_up(qc.min_decode_bits)  # same floor as the router
+        decode_widths = tuple(b for b in SUPPORTED if lo <= b <= db) or (db,)
         # float32 in the SAME op order as the device router
         # (make_slot_bits_router): float64 here diverged from the device's
         # float32 at bucket boundaries (e.g. target 4.0000000000000004 vs
@@ -977,9 +978,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
         progressive = (self.cfg.use_phase_aware_quant and
                        qc.progressive_precision)
         if progressive:
-            lo_w = bucket_bits(qc.min_decode_bits)
+            lo_w = bucket_bits_up(qc.min_decode_bits)
             widths = sorted(b for b in SUPPORTED
-                            if lo_w <= b <= bucket_bits(qc.decode_bits))
+                            if lo_w <= b <= bucket_bits(qc.decode_bits)) \
+                or [bucket_bits(qc.decode_bits)]
 
             def pick(x):
                 p = widths[0]

@@ -62,6 +62,35 @@ def test_kv_cache_progressive_precision():
     assert q.keys.bits == 2
 
 
+def test_kv_cache_prefill_rebuilds_after_decode_update():
+    """A decode-phase update() clears the prefill copy; transitioning back
+    to prefill must lazily rebuild it — not silently serve full-precision
+    K/V with get_quantized() == None (review r5)."""
+    keys, values = _kv()
+    ent = KVCacheEntry(keys, values, prefill_bits=8, decode_bits=4)
+    ent.transition_phase(False)
+    nk, nv = _kv(seed=3)
+    ent.update(nk, nv)
+    ent.transition_phase(True)
+    q = ent.get_quantized()
+    assert q is not None and q.keys.bits == 8
+    # quantized (not full-precision) K served in prefill phase
+    assert float(jnp.mean(jnp.abs(ent.get_keys() - nk))) > 0
+
+
+def test_kv_cache_manager_accounting_tracks_shrink():
+    """_memory_usage must decrease when an entry shrinks (the old max(.., 0)
+    clamp drifted it monotonically upward, firing spurious evictions)."""
+    mgr = KVCacheManager(max_cache_size=1 << 30)
+    keys, values = _kv(S=16)
+    mgr.update("c", keys, values)
+    big = mgr.memory_usage()
+    nk, nv = _kv(seed=5, S=2)
+    mgr.update("c", nk, nv)
+    assert mgr.memory_usage() < big
+    assert mgr.memory_usage() == mgr.get("c").memory_usage()
+
+
 def test_kv_cache_update_replaces():
     keys, values = _kv()
     ent = KVCacheEntry(keys, values)
