@@ -24,6 +24,7 @@ position, learned positional embeddings, GELU MLP, weight-tied logits head.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, Optional, Tuple
 
@@ -129,36 +130,75 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(B, S, num_heads, D // num_heads)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_fold(qf, kf, vf, sm_scale):
+    """Folded [BH, S, Hd] flash attention with a differentiable XLA
+    backward: the Pallas kernel has no VJP, so training at Skv >= 1024
+    would otherwise fail at trace time (review r5). The backward pass
+    recomputes standard softmax-attention gradients (materializes the
+    [BH, Sq, Skv] probs — fine for the occasional long-S training step;
+    the forward stays flash)."""
+    from diffusion_llm_rs_tpu.ops.pallas_attention import dense_attention
+
+    out = dense_attention(qf, kf, vf, sm_scale=sm_scale, out_dtype=qf.dtype)
+    if out is None:  # kernel-unfriendly shape: same math via XLA
+        logits = jnp.einsum("bsd,btd->bst", qf, kf,
+                            preferred_element_type=jnp.float32) * sm_scale
+        p = jax.nn.softmax(logits, axis=-1).astype(vf.dtype)
+        out = jnp.einsum("bst,btd->bsd", p, vf,
+                         preferred_element_type=jnp.float32).astype(qf.dtype)
+    return out
+
+
+def _flash_fold_fwd(qf, kf, vf, sm_scale):
+    return _flash_fold(qf, kf, vf, sm_scale), (qf, kf, vf)
+
+
+def _flash_fold_bwd(sm_scale, res, g):
+    qf, kf, vf = res
+    q32, k32, v32 = (a.astype(jnp.float32) for a in (qf, kf, vf))
+    g32 = g.astype(jnp.float32)
+    logits = jnp.einsum("bsd,btd->bst", q32, k32) * sm_scale
+    p = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bst,bsd->btd", p, g32)
+    dp = jnp.einsum("bsd,btd->bst", g32, v32)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bst,btd->bsd", dl, k32) * sm_scale
+    dk = jnp.einsum("bst,bsd->btd", dl, q32) * sm_scale
+    return dq.astype(qf.dtype), dk.astype(kf.dtype), dv.astype(vf.dtype)
+
+
+_flash_fold.defvjp(_flash_fold_fwd, _flash_fold_bwd)
+
+
 def attention(
     q: jax.Array,  # [B, S, H, Hd]
     k: jax.Array,  # [B, Skv, H, Hd]
     v: jax.Array,
     mask: Optional[jax.Array] = None,  # [B, 1, S, Skv] additive
+    flash: bool = True,
 ) -> jax.Array:
     Hd = q.shape[-1]
-    if mask is None and k.shape[1] >= 1024:
+    if flash and mask is None and k.shape[1] >= 1024:
         # unmasked long-S attention: Pallas flash kernel — the [S, Skv]
         # logits never touch HBM. At short S the fold/unfold transposes
         # cost more than the einsum path's materialization (measured:
         # benchmarks/profile_step.py round 4), so the short-S hot path is
         # the XLA einsum below (`fused_qkv_attention` lost the same
         # measurement and is benchmark-only — see the note at the dispatch
-        # site further down).
+        # site further down). `flash=False` forces the einsum path — the
+        # GSPMD sharded steps use it (a single-chip Mosaic kernel inside a
+        # pjit program needs shard_map; parallel/mesh.py).
         from diffusion_llm_rs_tpu.ops.matmul import use_pallas
         if use_pallas():
-            from diffusion_llm_rs_tpu.ops.pallas_attention import (
-                dense_attention,
-            )
             B, S, H, _ = q.shape
-            Skv = k.shape[1]
 
             def fold(x):  # [B, S, H, Hd] -> [B*H, S, Hd]
                 return x.transpose(0, 2, 1, 3).reshape(B * H, -1, Hd)
 
-            out = dense_attention(fold(q), fold(k), fold(v),
-                                  out_dtype=q.dtype)
-            if out is not None:
-                return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
+            out = _flash_fold(fold(q), fold(k), fold(v),
+                              1.0 / math.sqrt(Hd))
+            return out.reshape(B, H, S, Hd).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bshd,bthd->bhst", q, k,
                         preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(Hd)
@@ -181,6 +221,7 @@ def denoiser_forward(
     return_hidden: bool = False,
     cached_qkv=None,  # list per layer of (QuantKV k, QuantKV v) — packed path
     attend_fn=None,   # (layer_idx, q, k, v, mask) -> attn_out, all [B,S,H,Hd]
+    flash_attn=True,  # False forces the XLA einsum attention (GSPMD steps)
     tap=None,         # (param_path, x) called with each linear's INPUT —
                       # calibration hook (GPTQ Hessian accumulation)
 ):
@@ -244,6 +285,12 @@ def denoiser_forward(
             # order, `diffuse-llm-rs/src/lib.rs:907-918`)
             attn_out = attend_fn(li, q, k, v, mask).astype(dtype)
         elif cached_qkv is not None:
+            if mask is not None:
+                # the quantized-KV kernel has no mask input; silently
+                # attending over padding would be wrong (review r5)
+                raise ValueError(
+                    "attn_mask is not supported with cached_qkv — use the "
+                    "einsum path (cached_kv) or attend_fn")
             # packed path: Pallas flash attention reads quantized K/V
             from diffusion_llm_rs_tpu.ops import pallas_attention as pa
             qk, qv = cached_qkv[li]
@@ -256,7 +303,7 @@ def denoiser_forward(
             if cached_kv is not None:
                 k = cached_kv[0][li].astype(dtype)
                 v = cached_kv[1][li].astype(dtype)
-            attn_out = attention(q, k, v, mask)
+            attn_out = attention(q, k, v, mask, flash=flash_attn)
         ao = attn_out.reshape(B, S, D)
         tap(f"blocks/{li}/attn/wo", ao)
         h = linear(ao, a["wo"], residual=h)

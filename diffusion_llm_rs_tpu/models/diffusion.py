@@ -238,6 +238,10 @@ def sample(
         t_vec = jnp.full((batch,), t_scalar, jnp.int32)
         eps = model_fn(x, t_vec)
         x = p_sample(schedule, x, t_vec, eps, sub)
+        if callback is not None:
+            # host-side observer (progress/inspection); runs under jit via
+            # debug.callback — ordered so per-step logs arrive in sequence
+            jax.debug.callback(callback, t_scalar, x, ordered=True)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), ts)

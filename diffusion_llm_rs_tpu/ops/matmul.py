@@ -210,6 +210,11 @@ def linear(
     (XLA fuses them there).
     """
     out_dtype = preferred_dtype or x.dtype
+    # validate up front: the Int8Weight/MatmulWeight kernel epilogues only
+    # implement gelu and would silently SKIP an unknown activation (the
+    # generic path below raises — review r5)
+    if activation not in (None, "gelu"):
+        raise ValueError(f"unknown activation {activation!r}")
     if isinstance(w, Int8Weight):
         return int8_linear(x, w, b, activation, residual, out_dtype)
     # MatmulWeight: kernel-ready packed layout -> Pallas fused dequant+matmul

@@ -183,7 +183,9 @@ def make_sharded_infer_step(cfg: DiffusionConfig, mesh: Mesh):
     @functools.partial(jax.jit,
                        out_shardings=NamedSharding(mesh, P("data", None, None)))
     def infer_step(params, x, t):
-        eps = dn.denoiser_forward(params, cfg, x, t)
+        # flash_attn=False: a single-chip Mosaic kernel inside a pjit
+        # program would need shard_map; GSPMD partitions the einsum path
+        eps = dn.denoiser_forward(params, cfg, x, t, flash_attn=False)
         return eps
 
     return infer_step
@@ -198,19 +200,28 @@ def make_sharded_sample_step(cfg: DiffusionConfig, mesh: Mesh, schedule):
     """
     from diffusion_llm_rs_tpu.models.diffusion import sample as _sample
 
-    def run(params, key, batch: int, seq_len: int, num_steps: int):
-        def model_fn(x, t):
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P("data", None, None)))
-            return dn.denoiser_forward(params, cfg, x, t)
+    jitted: dict = {}
 
+    def run(params, key, batch: int, seq_len: int, num_steps: int):
+        # memoize per shape: a fresh lambda per call would retrace and
+        # RECOMPILE the whole sampling loop every time (20-280 s on TPU,
+        # CLAUDE.md) — review r5
+        shape_key = (batch, seq_len, num_steps)
+        if shape_key not in jitted:
+            def body(params, k):
+                def model_fn(x, t):
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P("data", None, None)))
+                    return dn.denoiser_forward(params, cfg, x, t,
+                                               flash_attn=False)
+                return _sample(model_fn, schedule,
+                               (batch, seq_len, cfg.hidden_size), k,
+                               num_steps=num_steps)
+            jitted[shape_key] = jax.jit(
+                body,
+                out_shardings=NamedSharding(mesh, P("data", None, None)))
         with mesh:
-            out = jax.jit(
-                lambda k: _sample(model_fn, schedule,
-                                  (batch, seq_len, cfg.hidden_size), k,
-                                  num_steps=num_steps),
-                out_shardings=NamedSharding(mesh, P("data", None, None)))(key)
-        return out
+            return jitted[shape_key](params, key)
 
     return run
 
@@ -226,7 +237,8 @@ def make_sharded_train_step(cfg: DiffusionConfig, mesh: Mesh,
 
     def loss_fn(params, x0, t, noise):
         losses = p_losses(
-            lambda x, tt: dn.denoiser_forward(params, cfg, x, tt),
+            lambda x, tt: dn.denoiser_forward(params, cfg, x, tt,
+                                              flash_attn=False),
             schedule, x0, t, noise=noise)
         return jnp.mean(losses)
 

@@ -35,6 +35,7 @@ except ImportError:  # older jax
 from diffusion_llm_rs_tpu.config import DiffusionConfig
 from diffusion_llm_rs_tpu.models import denoiser as dn
 from diffusion_llm_rs_tpu.ops.matmul import linear
+from diffusion_llm_rs_tpu.quant.core import QuantizedTensor
 from diffusion_llm_rs_tpu.ops.pallas_matmul import MatmulWeight, prepare
 from diffusion_llm_rs_tpu.quant.core import quantize
 
@@ -142,6 +143,15 @@ def shard_tp_params(params, tp: int) -> List[Any]:
 
     def split_one(idx):
         def go(path, leaf):
+            # raw QuantizedTensors must be prepare()d into MatmulWeight
+            # first: slicing their packed uint8 data as if fp (and keeping
+            # the global static shape aux) silently corrupts the shard
+            # (review r5) — reject loudly instead
+            if isinstance(leaf, QuantizedTensor):
+                raise TypeError(
+                    "shard_tp_params cannot split a raw QuantizedTensor — "
+                    "run pallas_matmul.prepare() (or decode_to_int8) on the "
+                    "tree first so packed data + sidecars split together")
             pstr = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                             for p in path)
             if "attn/wqkv" in pstr:
@@ -154,7 +164,8 @@ def shard_tp_params(params, tp: int) -> List[Any]:
                 return _split_weight(leaf, 0, tp, idx)
             return leaf
         return jax.tree_util.tree_map_with_path(
-            go, params, is_leaf=lambda l: isinstance(l, MatmulWeight))
+            go, params,
+            is_leaf=lambda l: isinstance(l, (MatmulWeight, QuantizedTensor)))
 
     return [split_one(i) for i in range(tp)]
 
@@ -173,6 +184,12 @@ def tp_denoiser_forward(params_local, cfg: DiffusionConfig, x, t, tp: int,
     kernel runs unmodified on the shard's own heads).
     """
     B, S, D = x.shape
+    if cfg.num_attention_heads % tp:
+        # a non-dividing tp silently regroups head boundaries (each shard's
+        # D//tp columns mix fractions of true heads under a wrong softmax
+        # scale) — the output would be wrong with no error (review r5)
+        raise ValueError(f"num_attention_heads {cfg.num_attention_heads} "
+                         f"not divisible by tp {tp}")
     H_local = cfg.num_attention_heads // tp
     dtype = x.dtype
 

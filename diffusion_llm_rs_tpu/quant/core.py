@@ -244,16 +244,6 @@ def _params_from_minmax(mn, mx, qmax, symmetric):
     return scale.astype(jnp.float32), zp.astype(jnp.float32)
 
 
-def _broadcast_params(p: jax.Array, qt_shape: Tuple[int, ...],
-                      granularity: Granularity, group_size: int, axis: int):
-    """Expand sidecar params so they broadcast against the unpacked levels."""
-    if granularity in ("tensor", "channel"):
-        return p
-    ax = _norm_axis(axis, len(qt_shape))
-    # group: p has shape with `ax` replaced by n_groups -> insert group dim.
-    return jnp.expand_dims(p, ax + 1)
-
-
 # ---------------------------------------------------------------------------
 # Quantize / dequantize
 # ---------------------------------------------------------------------------
@@ -409,8 +399,11 @@ def quantize_tree(params, bits: int, *, min_size: int = 1024,
 
 def dequantize_tree(params, dtype=jnp.float32):
     def _is_q(l):
-        # duck-typed: QuantizedTensor, Fp8Tensor, ops.pallas_matmul.MatmulWeight
-        return hasattr(l, "dequantize") and hasattr(l, "bits") or \
+        # duck-typed: QuantizedTensor, Fp8Tensor, ops.pallas_matmul
+        # .MatmulWeight, and ops.matmul.Int8Weight (which has dequantize +
+        # col_scale but no .bits — review r5: it was silently left packed)
+        return (hasattr(l, "dequantize") and
+                (hasattr(l, "bits") or hasattr(l, "col_scale"))) or \
             isinstance(l, (QuantizedTensor, Fp8Tensor))
 
     def _d(leaf):

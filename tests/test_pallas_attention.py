@@ -107,3 +107,43 @@ def test_denoiser_attention_uses_flash_equivalent_math():
     p = jax.nn.softmax(logits, axis=-1)
     ref = jnp.einsum("bhst,bthd->bshd", p, v)
     assert float(jnp.max(jnp.abs(out - ref))) < 5e-2
+
+
+def test_long_s_attention_is_differentiable():
+    """The denoiser's flash dispatch at Skv >= 1024 must be differentiable:
+    the Pallas kernel has no VJP, so the dispatch wraps it in a custom_vjp
+    whose backward recomputes standard attention grads via XLA (review r5
+    — training at long S failed at trace time before)."""
+    from diffusion_llm_rs_tpu.models import denoiser as dn
+
+    B, S, H, Hd = 1, 1024, 2, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+
+    def loss(q, k, v, flash):
+        return jnp.sum(dn.attention(q, k, v, flash=flash) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+        assert bool(jnp.all(jnp.isfinite(g)))
+        rel = float(jnp.linalg.norm(g - r) / (jnp.linalg.norm(r) + 1e-9))
+        assert rel < 2e-2, rel
+
+
+def test_attention_flash_false_matches_einsum():
+    """flash=False (the GSPMD sharded steps' setting) must compute the same
+    attention as the kernel dispatch."""
+    from diffusion_llm_rs_tpu.models import denoiser as dn
+
+    B, S, H, Hd = 1, 1024, 2, 64
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, Hd)).astype(np.float32))
+    a = dn.attention(q, k, v, flash=True)
+    b = dn.attention(q, k, v, flash=False)
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+    assert rel < 2e-2, rel

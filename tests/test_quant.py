@@ -209,3 +209,23 @@ def test_quantize_tree():
     assert isinstance(qparams["b"], jnp.ndarray)  # small 1-D stays fp
     deq = quant.dequantize_tree(qparams)
     np.testing.assert_allclose(np.asarray(deq["w"]), np.ones((256, 128)), atol=0.2)
+
+
+def test_dequantize_tree_covers_int8weight():
+    """dequantize_tree's duck-typing must include ops.matmul.Int8Weight
+    (dequantize + col_scale, no .bits) — it was silently left packed
+    (review r5)."""
+    import jax
+    from diffusion_llm_rs_tpu.ops.matmul import decode_to_int8, Int8Weight
+    from diffusion_llm_rs_tpu.quant.core import dequantize_tree
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(256, 128)),
+                    jnp.float32)
+    qt = quant.quantize(w, 4, symmetric=True, granularity="group",
+                        group_size=128, axis=0)
+    tree = {"w": decode_to_int8(qt), "b": jnp.zeros((128,))}
+    out = dequantize_tree(tree)
+    assert not isinstance(out["w"], Int8Weight)
+    assert out["w"].shape == (256, 128)
+    rel = float(jnp.linalg.norm(out["w"] - w) / jnp.linalg.norm(w))
+    assert rel < 0.15  # int4 round-to-nearest on Gaussian weights is ~10%

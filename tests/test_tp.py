@@ -112,3 +112,30 @@ def test_split_weight_preserves_a8_mode():
     assert row.act_bits == 8 and row.col_scale is not None
     qkv = tp._split_wqkv(mw, tp=2, idx=0)  # 96 = 3*32 -> thirds of 16
     assert qkv.act_bits == 8 and qkv.col_scale.shape == (1, 48)
+
+
+def test_shard_tp_params_rejects_raw_quantized_tensor():
+    """Raw QuantizedTensor leaves must be prepare()d first: slicing their
+    packed uint8 data as fp columns (with the global shape aux) silently
+    corrupts the shard (review r5)."""
+    from diffusion_llm_rs_tpu.parallel.tp import shard_tp_params
+    from diffusion_llm_rs_tpu.quant.core import quantize_tree
+
+    cfg = DiffusionConfig.tiny()
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_tree(params, 4, symmetric=True, granularity="group",
+                       group_size=32, axis=0)
+    with pytest.raises(TypeError, match="prepare"):
+        shard_tp_params(qp, 2)
+
+
+def test_tp_forward_rejects_nondividing_heads():
+    from diffusion_llm_rs_tpu.parallel.tp import (shard_tp_params,
+                                                  tp_denoiser_forward)
+    cfg = DiffusionConfig.tiny(num_attention_heads=4)
+    params = dn.init_denoiser_params(jax.random.PRNGKey(0), cfg)
+    local = shard_tp_params(params, 2)[0]
+    x = jnp.zeros((1, 8, cfg.hidden_size))
+    t = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        tp_denoiser_forward(local, cfg, x, t, tp=3)
